@@ -1,0 +1,69 @@
+"""Checkpointing: best/last aliases + full train-resume.
+
+The reference saved three separate torch state_dicts plus the embedding tensor
+(best-by-val-loss at train.py:197-206, last-epoch at train.py:208-214) and had
+**no resume path** — optimizer state and epoch counter were lost. Here one
+msgpack checkpoint holds the whole train state (params, BN state, optimizer
+state, step/epoch, val metric), with "best" and "last" aliases preserving the
+evaluate CLI contract (reference evaluate.py:131-138 ``--best/--last``).
+
+Format: flax.serialization msgpack for the pytree + a JSON sidecar with
+metadata (step, epoch, metric, model config) — dependency-light, stable, and
+mesh-agnostic (arrays are saved fully replicated; ``shard_params`` re-places
+them on load).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_host(tree):
+    return jax.tree.map(
+        lambda x: np.asarray(x) if hasattr(x, "ndim") else x, tree)
+
+
+def save_checkpoint(ckpt_dir: Path, alias: str, train_state: Dict,
+                    metadata: Optional[Dict[str, Any]] = None) -> Path:
+    """Write ``<ckpt_dir>/<alias>.msgpack`` (+ .json metadata)."""
+    ckpt_dir = Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    path = ckpt_dir / f"{alias}.msgpack"
+    # to_state_dict flattens NamedTuples (optax states, AttnParams) into
+    # msgpack-serialisable dicts; from_state_dict rebuilds them on load
+    blob = serialization.msgpack_serialize(
+        serialization.to_state_dict(_to_host(train_state)))
+    tmp = path.with_suffix(".tmp")
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)  # atomic publish
+    if metadata is not None:
+        with open(ckpt_dir / f"{alias}.json", "w") as f:
+            json.dump(metadata, f, indent=2, default=str)
+    return path
+
+
+def load_checkpoint(ckpt_dir: Path, alias: str,
+                    template: Dict) -> Tuple[Dict, Dict[str, Any]]:
+    """Restore into the structure of ``template``; returns (state, metadata)."""
+    ckpt_dir = Path(ckpt_dir)
+    with open(ckpt_dir / f"{alias}.msgpack", "rb") as f:
+        restored = serialization.msgpack_restore(f.read())
+    state = serialization.from_state_dict(template, restored)
+    meta_path = ckpt_dir / f"{alias}.json"
+    metadata = {}
+    if meta_path.exists():
+        with open(meta_path) as f:
+            metadata = json.load(f)
+    return state, metadata
+
+
+def has_checkpoint(ckpt_dir: Path, alias: str) -> bool:
+    return (Path(ckpt_dir) / f"{alias}.msgpack").exists()

@@ -1,0 +1,173 @@
+"""Offline saliency extraction: frames, audio, clips (reference dataset/*.py).
+
+Design changes vs the reference, driven by throughput (this stage dominated
+reference prep cost — SURVEY.md §3.4):
+
+* **one decode pass per video**, not per question: the reference re-decoded
+  the full mp4 once for every question on that video
+  (reference dataset/get_salient_frames.py:26-43 called per question);
+  ``extract_salient_frames_for_video`` decodes once and serves all spans;
+* frames are stored exactly as the reference stored them — uint8
+  ``(T, 112, 112, 3)`` .npy at ~1 fps inside the answer span, INTER_AREA
+  resize (reference get_salient_frames.py:28,39-41) — so artifacts
+  interoperate;
+* audio clipping slices wav arrays directly instead of spawning ffmpeg per
+  question (reference get_salient_audioclips.py:13).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import subprocess
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from mmqg_tpu.data import wav as wavio
+from mmqg_tpu.data.subtitles import span_seconds
+
+
+def parse_span_ms(answer_start: str, answer_end: str) -> Tuple[int, int]:
+    """'M:SS' strings -> (start_ms, end_ms) (reference get_salient_frames.py:14-19)."""
+    return span_seconds(answer_start) * 1000, span_seconds(answer_end) * 1000
+
+
+def is_salient(frame_time: float, start_time: float, end_time: float) -> bool:
+    """Reference dataset/get_salient_frames.py:8-11."""
+    return start_time <= frame_time <= end_time
+
+
+def extract_salient_frames_for_video(
+    video_file: Path,
+    spans_ms: Sequence[Tuple[int, int]],
+    frame_dim: Tuple[int, int] = (112, 112),
+) -> List[np.ndarray]:
+    """Decode ``video_file`` once; for each (start_ms, end_ms) span return the
+    ~1 fps salient frames resized to ``frame_dim`` as uint8 (T, H, W, 3).
+
+    Sampling rule matches reference get_salient_frames.py:28,38-41:
+    keep frames with ``frame_id % ceil(fps) == 0`` whose timestamp lies in the
+    span; resize with INTER_AREA.
+    """
+    import cv2  # local import: cv2 is only needed for offline prep
+
+    cap = cv2.VideoCapture(str(video_file))
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video: {video_file}")
+    frame_rate = math.ceil(cap.get(cv2.CAP_PROP_FPS))
+    per_span: List[List[np.ndarray]] = [[] for _ in spans_ms]
+    while True:
+        frame_id = cap.get(cv2.CAP_PROP_POS_FRAMES)
+        frame_time = cap.get(cv2.CAP_PROP_POS_MSEC)
+        ok, image = cap.read()
+        if not ok:
+            break
+        if frame_id % frame_rate != 0:
+            continue
+        resized: Optional[np.ndarray] = None
+        for i, (start_ms, end_ms) in enumerate(spans_ms):
+            if is_salient(frame_time, start_ms, end_ms):
+                if resized is None:
+                    resized = cv2.resize(image, frame_dim, interpolation=cv2.INTER_AREA)
+                per_span[i].append(resized)
+    cap.release()
+    return [
+        np.asarray(frames, dtype=np.uint8)
+        if frames else np.zeros((0,) + frame_dim + (3,), np.uint8)
+        for frames in per_span
+    ]
+
+
+def save_salient_frames(config, questions: List[Dict]) -> int:
+    """Batch frame extraction for a labelled-questions corpus, grouped by
+    video (single decode per video). Writes the reference's artifact layout:
+    ``salient_frames/v_{video_id}_q_{question_id}_.npy``
+    (reference get_salient_frames.py:47)."""
+    out_dir = Path(config.salient_frames_path)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    by_video: Dict[str, List[Dict]] = {}
+    for q in questions:
+        if len(q.get("question", "")) == 0:
+            break  # reference stops at first empty record (get_salient_frames.py:67-68)
+        by_video.setdefault(str(q["video_id"]), []).append(q)
+
+    n_written = 0
+    size = (config.frame_size, config.frame_size)
+    for video_id, qs in by_video.items():
+        video_file = Path(config.video_path) / f"{video_id}.mp4"
+        spans = [parse_span_ms(q["answer_start"], q["answer_end"]) for q in qs]
+        frames_per_q = extract_salient_frames_for_video(video_file, spans, size)
+        for q, frames in zip(qs, frames_per_q):
+            np.save(out_dir / f"v_{video_id}_q_{q['question_id']}_.npy", frames)
+            n_written += 1
+    return n_written
+
+
+def extract_audio(config, video_id: str) -> Path:
+    """mp4 -> 44.1 kHz stereo wav (reference dataset/get_audio.py:6-13).
+    Container demux needs a host decoder; we use the ffmpeg binary when
+    available (same contract as the reference) and fail loudly otherwise."""
+    out = Path(config.audio_path) / f"{video_id}.wav"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is None:
+        raise RuntimeError(
+            "ffmpeg binary not found: mp4 audio demux requires ffmpeg "
+            "(reference get_audio.py used the same binary). Frame/text/clip "
+            "stages and training run without it."
+        )
+    cmd = [ffmpeg, "-hide_banner", "-loglevel", "panic", "-y",
+           "-i", str(Path(config.video_path) / f"{video_id}.mp4"),
+           "-ab", "160k", "-ac", "2", "-ar", "44100", "-vn", str(out)]
+    subprocess.run(cmd, check=True)
+    return out
+
+
+def clip_salient_audio(config, questions: List[Dict]) -> int:
+    """Cut each question's answer span from its video's wav
+    (reference dataset/get_salient_audioclips.py:6-17), as array slicing.
+    Output layout: ``salient_audio_clip/v_{vid}_q_{qid}_.wav``."""
+    out_dir = Path(config.salient_audio_path)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    cache: Dict[str, Tuple[np.ndarray, int]] = {}
+    n = 0
+    for q in questions:
+        if len(q.get("question", "")) == 0:
+            break
+        vid = str(q["video_id"])
+        if vid not in cache:
+            cache.clear()  # bound memory: one decoded wav at a time
+            cache[vid] = wavio.read_wav(Path(config.audio_path) / f"{vid}.wav")
+        samples, rate = cache[vid]
+        start_s = span_seconds(q["answer_start"])
+        end_s = span_seconds(q["answer_end"])
+        clip = wavio.clip_span(samples, rate, start_s, end_s)
+        wavio.write_wav(out_dir / f"v_{vid}_q_{q['question_id']}_.wav", clip, rate)
+        n += 1
+    return n
+
+
+def run_prep_pipeline(config) -> Dict[str, int]:
+    """End-to-end offline prep (reference dataset/README order:
+    assign ids -> audio -> clips -> frames -> text), minus the network/demux
+    stage when ffmpeg is unavailable."""
+    from mmqg_tpu.data.subtitles import assign_question_ids, build_salient_text_list
+
+    with open(config.questions_file) as f:
+        questions = json.load(f)
+    if questions and "question_id" not in questions[0]:
+        questions = assign_question_ids(0, questions)
+
+    stats = {}
+    stats["frames"] = save_salient_frames(config, questions)
+    stats["clips"] = clip_salient_audio(config, questions)
+    texts = build_salient_text_list(questions, config.subs_path)
+    Path(config.salient_text_file).parent.mkdir(parents=True, exist_ok=True)
+    with open(config.salient_text_file, "w") as f:
+        json.dump(texts, f)
+    stats["texts"] = len(texts)
+    return stats

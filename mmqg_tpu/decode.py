@@ -1,0 +1,170 @@
+"""Batched jitted decoding: greedy / sampling / top-k / beam search.
+
+The reference decoded one sample at a time in Python, one strategy branch per
+token (reference evaluate.py:70-103). Here every strategy is a single
+``lax.scan`` over ``pred_max_len`` steps for a whole batch, with ``<end>``
+handled by a finished-mask (emitted tokens after ``<end>`` are ``<pad>`` and
+trimmed host-side — same visible contract as the reference's early ``break``
+at evaluate.py:101-103).
+
+Strategies (reference evaluate.py:74-99):
+  greedy    argmax over softmax                      (:74-82)
+  sampling  categorical draw from softmax            (:84-92)
+  topk      top-k truncated sampling; the reference's ``topk(1)`` (:94-99) is
+            k=1, i.e. greedy — k is a parameter here
+  beam      NEW capability (BASELINE.json requires beam decode): batched
+            length-normalised beam search, one scan, static shapes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from mmqg_tpu.data.vocab import END_ID, PAD_ID, START_ID
+from mmqg_tpu.models import decoder as D
+from mmqg_tpu.models import qg_model
+
+_NEG_INF = -1e30
+
+
+def _select_token(strategy: str, logits: jnp.ndarray, rng, k: int) -> jnp.ndarray:
+    """(B, V) logits -> (B,) next tokens."""
+    if strategy == "greedy":
+        return jnp.argmax(logits, axis=-1)
+    if strategy == "sampling":
+        return jax.random.categorical(rng, logits.astype(jnp.float32), axis=-1)
+    if strategy == "topk":
+        if k <= 1:
+            return jnp.argmax(logits, axis=-1)
+        vals, idx = lax.top_k(logits, k)
+        choice = jax.random.categorical(rng, vals.astype(jnp.float32), axis=-1)
+        return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
+    raise ValueError(f"unknown strategy: {strategy}")
+
+
+@partial(jax.jit, static_argnames=("mc", "strategy", "max_len", "k", "use_pallas"))
+def decode_batch(
+    params: Dict,
+    state: Dict,
+    mc: qg_model.ModelConfig,
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+    *,
+    strategy: str = "greedy",
+    max_len: int = 21,
+    k: int = 1,
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    """Returns token ids (B, max_len); PAD after <end>. <end> itself is kept
+    so hosts can see the stop (and strip it, reference evaluate.py:101-103)."""
+    mem, dec_state, _ = qg_model.encode(params, state, mc, batch, train=False)
+    B = batch["context_ids"].shape[0]
+    emb_table = params["embedding"]["table"]
+
+    def body(carry, t):
+        dec_state, tok, finished = carry
+        logits, new_state, _ = D.step(params["decoder"], emb_table, tok, mem,
+                                      dec_state, train=False,
+                                      use_pallas=use_pallas)
+        nxt = _select_token(strategy, logits, jax.random.fold_in(rng, t), k)
+        nxt = jnp.where(finished, PAD_ID, nxt)
+        new_finished = finished | (nxt == END_ID)
+        return (new_state, nxt, new_finished), nxt
+
+    init = (dec_state, jnp.full((B,), START_ID, jnp.int32),
+            jnp.zeros((B,), bool))
+    _, toks = lax.scan(body, init, jnp.arange(max_len))
+    return jnp.swapaxes(toks, 0, 1)  # (B, max_len)
+
+
+@partial(jax.jit, static_argnames=("mc", "max_len", "beam_size", "use_pallas",
+                                   "length_penalty"))
+def beam_decode_batch(
+    params: Dict,
+    state: Dict,
+    mc: qg_model.ModelConfig,
+    batch: Dict[str, jnp.ndarray],
+    *,
+    max_len: int = 21,
+    beam_size: int = 4,
+    length_penalty: float = 0.6,
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    """Length-normalised beam search. Returns best-beam tokens (B, max_len)."""
+    mem, dec_state, _ = qg_model.encode(params, state, mc, batch, train=False)
+    B = batch["context_ids"].shape[0]
+    K = beam_size
+    emb_table = params["embedding"]["table"]
+
+    def tile(x):  # (B, ...) -> (B*K, ...)
+        return jnp.repeat(x, K, axis=0)
+
+    mem = D.Memories(*[tile(x) for x in mem])
+    h, c = dec_state
+    dec_state = (jnp.repeat(h, K, axis=1), jnp.repeat(c, K, axis=1))
+
+    # beam scores: only beam 0 live initially so the first expansion picks
+    # the true top-K tokens rather than K copies of the argmax.
+    scores = jnp.tile(jnp.array([0.0] + [_NEG_INF] * (K - 1)), (B, 1))  # (B, K)
+    tokens = jnp.full((B, K, max_len), PAD_ID, jnp.int32)
+    finished = jnp.zeros((B, K), bool)
+    lengths = jnp.zeros((B, K), jnp.int32)
+    cur = jnp.full((B * K,), START_ID, jnp.int32)
+
+    def body(carry, t):
+        dec_state, cur, scores, tokens, finished, lengths = carry
+        logits, new_state, _ = D.step(params["decoder"], emb_table, cur, mem,
+                                      dec_state, train=False,
+                                      use_pallas=use_pallas)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)  # (B*K, V)
+        V = logp.shape[-1]
+        logp = logp.reshape(B, K, V)
+        # finished beams may only extend with PAD at no cost
+        pad_only = jnp.full((V,), _NEG_INF).at[PAD_ID].set(0.0)
+        logp = jnp.where(finished[..., None], pad_only, logp)
+        total = scores[..., None] + logp                            # (B, K, V)
+        flat = total.reshape(B, K * V)
+        new_scores, flat_idx = lax.top_k(flat, K)                   # (B, K)
+        beam_idx = flat_idx // V                                    # (B, K)
+        tok_idx = (flat_idx % V).astype(jnp.int32)                  # (B, K)
+
+        # gather beam state: dec_state is (L, B*K, H)
+        gather = (jnp.arange(B)[:, None] * K + beam_idx).reshape(-1)  # (B*K,)
+        h, c = new_state
+        new_dec = (h[:, gather], c[:, gather])
+        new_tokens = jnp.take_along_axis(tokens, beam_idx[..., None], axis=1)
+        new_tokens = new_tokens.at[:, :, t].set(tok_idx)
+        was_finished = jnp.take_along_axis(finished, beam_idx, axis=1)
+        new_lengths = jnp.take_along_axis(lengths, beam_idx, axis=1)
+        new_lengths = jnp.where(was_finished, new_lengths, new_lengths + 1)
+        new_finished = was_finished | (tok_idx == END_ID)
+        return (new_dec, tok_idx.reshape(-1), new_scores, new_tokens,
+                new_finished, new_lengths), None
+
+    carry = (dec_state, cur, scores, tokens, finished, lengths)
+    (dec_state, cur, scores, tokens, finished, lengths), _ = lax.scan(
+        body, carry, jnp.arange(max_len))
+
+    norm = scores / jnp.maximum(lengths, 1).astype(jnp.float32) ** length_penalty
+    best = jnp.argmax(norm, axis=1)                                 # (B,)
+    return jnp.take_along_axis(tokens, best[:, None, None], axis=1)[:, 0]
+
+
+def tokens_to_words(tokens, index_to_word: Dict[str, str]) -> List[List[str]]:
+    """Host-side id->word conversion, trimming at <end>/<pad>
+    (reference evaluate.py:79,101-103 semantics)."""
+    out = []
+    import numpy as np
+    for row in np.asarray(tokens):
+        words = []
+        for t in row:
+            if t in (PAD_ID, END_ID):
+                break
+            words.append(index_to_word[str(int(t))])
+        out.append(words)
+    return out

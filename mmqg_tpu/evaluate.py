@@ -1,0 +1,130 @@
+"""Evaluation / inference driver (reference evaluate.py:34-229 rebuilt).
+
+CLI contract parity: ``--best/--last``, ``--config_path``, ``--strategy``
+(greedy | sampling | topk | beam — beam is new), predictions dumped to
+``{best|last}_predictions_<strategy>.json`` with the reference's record schema
+{question_id, gt_question, pred_question} (reference evaluate.py:114-118,
+220-227), plus the BLEU suite printed and returned.
+
+Note the reference's evaluate.py crashed as written (wrong ctor kwargs /
+return-arity — SURVEY.md §3.3); this implements its evident intent.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from mmqg_tpu import checkpoint as ckpt
+from mmqg_tpu import decode as DEC
+from mmqg_tpu import metrics as M
+from mmqg_tpu.config import Config
+from mmqg_tpu.data.dataset import QGDataset
+from mmqg_tpu.data.vocab import END_ID, PAD_ID
+from mmqg_tpu.models import qg_model
+from mmqg_tpu.train import batch_arrays, init_train_state, make_optimizer
+
+
+def evaluate(
+    params: Dict,
+    model_state: Dict,
+    mc: qg_model.ModelConfig,
+    dataset: QGDataset,
+    *,
+    strategy: str = "greedy",
+    batch_size: int = 32,
+    pred_max_len: int = 21,
+    beam_size: int = 4,
+    topk: int = 1,
+    seed: int = 0,
+    use_pallas: bool = True,
+    compat_bleu: bool = False,
+) -> Tuple[List[Dict], Dict[str, float]]:
+    """Decode the whole dataset; returns (predictions, bleu suite averages)."""
+    rng = jax.random.PRNGKey(seed)
+    predictions: List[Dict] = []
+    sums = {k: 0.0 for k in M.BLEU_WEIGHTS}
+    n_total = 0
+    for batch in dataset.batches(batch_size):
+        arrays = batch_arrays(batch)
+        if strategy == "beam":
+            toks = DEC.beam_decode_batch(
+                params, model_state, mc, arrays, max_len=pred_max_len,
+                beam_size=beam_size, use_pallas=use_pallas)
+        else:
+            rng, k = jax.random.split(rng)
+            toks = DEC.decode_batch(
+                params, model_state, mc, arrays, k, strategy=strategy,
+                max_len=pred_max_len, k=topk, use_pallas=use_pallas)
+        toks = np.asarray(toks)
+        for row, q, qid, ok in zip(toks, batch.questions, batch.question_id,
+                                   batch.valid):
+            if not ok:
+                continue
+            words = []
+            for t in row:
+                if t in (PAD_ID, END_ID):
+                    break
+                words.append(dataset.index_to_word[str(int(t))])
+            suite = M.bleu_suite(q, words, compat=compat_bleu)
+            for key, v in suite.items():
+                sums[key] += v
+            predictions.append({
+                "question_id": int(qid),
+                "gt_question": q,
+                "pred_question": " ".join(words),
+            })
+            n_total += 1
+    avgs = {k: v / max(n_total, 1) for k, v in sums.items()}
+    return predictions, avgs
+
+
+def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
+    parser = argparse.ArgumentParser(description="Evaluate model")
+    parser.add_argument("-b", "--best", action="store_true",
+                        help="get best epoch results")
+    parser.add_argument("-l", "--last", action="store_true",
+                        help="get last epoch results")
+    parser.add_argument("-c", "--config_path", type=str, required=True)
+    parser.add_argument("-s", "--strategy", type=str, required=True,
+                        choices=["greedy", "sampling", "topk", "beam"])
+    parser.add_argument("--mode", type=str, default="trimodal",
+                        choices=list(qg_model.MODES))
+    parser.add_argument("--compat-bleu", action="store_true",
+                        help="score with the reference's (non-standard) BLEU call")
+    args = parser.parse_args(argv)
+
+    config = Config.load(args.config_path)
+    alias = "last" if args.last else "best"
+
+    dataset = QGDataset(config, config.test_file,
+                        load_media=(args.mode != "text"))
+    mc = qg_model.ModelConfig.from_config(config, n_vocab=len(dataset.vocab),
+                                          mode=args.mode)
+    optimizer = make_optimizer(config)
+    emb = np.load(config.weights_matrix_file).astype(np.float32)
+    template = init_train_state(jax.random.PRNGKey(0), mc, emb, optimizer)
+    train_state, _ = ckpt.load_checkpoint(config.checkpoint_dir, alias, template)
+
+    predictions, bleu = evaluate(
+        train_state["params"], train_state["model_state"], mc, dataset,
+        strategy=args.strategy, batch_size=config.eval_batch_size,
+        pred_max_len=config.question_max_length, beam_size=config.beam_size,
+        use_pallas=config.use_pallas, compat_bleu=args.compat_bleu)
+
+    out_path = config.output_path / f"{alias}_predictions_{args.strategy}.json"
+    with open(out_path, "w") as f:
+        json.dump(predictions, f)
+    print(f"Predictions saved to {out_path}")
+    print(f"Val_bleu - {round(bleu['bleu'], 3)}, "
+          f"Val_bleu_1 - {round(bleu['bleu_1'], 3)}")
+    return bleu
+
+
+if __name__ == "__main__":
+    main()

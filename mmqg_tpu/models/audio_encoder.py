@@ -1,0 +1,86 @@
+"""Audio encoder: VGGish-architecture convnet over log-mel examples.
+
+The reference downloaded pretrained VGGish from torch.hub at model-construction
+time (reference model/encoder.py:12 — a network fetch inside __init__) and ran
+it on CPU per wav file. This rebuild owns the architecture: the standard
+VGGish topology (conv64-pool, conv128-pool, conv256x2-pool, conv512x2-pool,
+fc4096 x2, fc128 over a 96x64 log-mel patch), jit-batched over all examples of
+all samples at once, producing one 128-d embedding per 0.96 s audio example —
+the same feature contract the reference's hub model exposed
+(``postprocess=False`` -> raw 128-d float embeddings).
+
+Weight porting: a converter for released VGGish checkpoints can load weights
+into this pytree (same layer shapes); with no checkpoint available the encoder
+trains from scratch with the rest of the model.
+
+Output shape: (B, max_examples, 128), zero-masked past each sample's true
+example count — the padded (101, 128) attention memory the decoder expects
+(reference intent of train.py:156; the reference's own pad call was shape-
+buggy, see SURVEY.md §2 C18 notes).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mmqg_tpu.models import layers as L
+
+# (out_channels, n_convs) per VGG block
+_BLOCKS = ((64, 1), (128, 1), (256, 2), (512, 2))
+EMBEDDING_DIM = 128
+
+
+def init(rng, *, mel_frames: int = 96, mel_bins: int = 64,
+         embedding_dim: int = EMBEDDING_DIM) -> Dict:
+    n_convs = sum(n for _, n in _BLOCKS)
+    ks = jax.random.split(rng, n_convs + 3)
+    convs = []
+    c_in, ki = 1, 0
+    h, w = mel_frames, mel_bins
+    for c_out, reps in _BLOCKS:
+        for _ in range(reps):
+            convs.append(L.conv_init(ks[ki], c_in, c_out, 3))
+            c_in = c_out
+            ki += 1
+        h, w = h // 2, w // 2
+    flat = h * w * c_in  # 6*4*512 = 12288 for 96x64 input
+    return {
+        "convs": convs,
+        "fc1": L.dense_init(ks[ki], flat, 4096),
+        "fc2": L.dense_init(ks[ki + 1], 4096, 4096),
+        "fc3": L.dense_init(ks[ki + 2], 4096, embedding_dim),
+    }
+
+
+def embed_examples(params: Dict, mel: jnp.ndarray, *, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """(N, 96, 64) log-mel examples -> (N, 128) embeddings."""
+    x = mel[..., None]  # NHWC with 1 channel
+    ci = 0
+    for _, reps in _BLOCKS:
+        for _ in range(reps):
+            x = jax.nn.relu(L.conv2d(params["convs"][ci], x, padding="SAME",
+                                     dtype=dtype))
+            ci += 1
+        x = L.maxpool2d(x, 2)
+    x = x.reshape(x.shape[0], -1)
+    x = jax.nn.relu(L.dense(params["fc1"], x, dtype=dtype))
+    x = jax.nn.relu(L.dense(params["fc2"], x, dtype=dtype))
+    return L.dense(params["fc3"], x, dtype=dtype)
+
+
+def apply(
+    params: Dict,
+    mel_examples: jnp.ndarray,        # (B, E, 96, 64)
+    audio_examples_len: jnp.ndarray,  # (B,) int32 — valid example count
+    *,
+    dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Returns (B, E, 128) zero-masked past each sample's example count."""
+    B, E = mel_examples.shape[:2]
+    flat = mel_examples.reshape((B * E,) + mel_examples.shape[2:])
+    emb = embed_examples(params, flat, dtype=dtype).reshape(B, E, -1)
+    mask = (jnp.arange(E)[None, :] < audio_examples_len[:, None])[..., None]
+    return jnp.where(mask, emb, 0.0)

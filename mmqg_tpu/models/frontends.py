@@ -1,0 +1,158 @@
+"""On-device preprocessing frontends: video transforms and log-mel audio.
+
+This replaces three host-side stages of the reference with jit-compiled device
+code (the "implicit native layers" of SURVEY.md §2):
+
+* ``ToFloatTensor``/``Resize``/``Normalize`` torch transforms
+  (reference utils/custom_transforms.py:6-21) -> ``prepare_frames``:
+  uint8 HWC frames -> float, /255, resize-to-min-side, Kinetics normalise.
+  NOTE the reference normalised only at eval time (train.py:229 vs
+  evaluate.py:163) — a train/eval skew bug; we normalise in both and expose
+  ``normalize=False`` for quirks-compat experiments.
+* the torch.hub VGGish wav-file frontend (reference model/encoder.py:17
+  decoded wav + mel inside the hub model, on CPU, per sample) ->
+  ``log_mel_examples``: batched PCM -> STFT-as-conv -> mel -> log, entirely
+  on device. The STFT is expressed as a strided 1-D convolution with
+  cos/sin windowed kernels, so framing never materialises in HBM and the
+  whole frontend is three MXU matmuls + elementwise log.
+
+Featurisation constants follow the VGGish contract (16 kHz mono, 25 ms/10 ms
+Hann STFT, 64 mel bins 125-7500 Hz, log(mel + 0.01), 96-frame examples) so
+the audio encoder sees the same feature space the reference's hub model used.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+# ------------------------------------------------------------------ video
+
+def prepare_frames(
+    frames_u8: jnp.ndarray,          # (B, T, H, W, 3) uint8
+    *,
+    size: int = 112,
+    mean: Tuple[float, float, float] = (0.43216, 0.394666, 0.37645),
+    std: Tuple[float, float, float] = (0.22803, 0.22145, 0.216989),
+    normalize: bool = True,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """uint8 frames -> float [0,1] -> resize shortest side to ``size``
+    (bicubic, reference custom_transforms.py:6-12) -> channel normalise."""
+    x = frames_u8.astype(dtype) / 255.0
+    B, T, H, W, C = x.shape
+    if min(H, W) != size:
+        scale = size / min(H, W)
+        out_h, out_w = int(H * scale), int(W * scale)
+        x = jax.image.resize(x, (B, T, out_h, out_w, C), method="cubic")
+    if normalize:
+        x = (x - jnp.asarray(mean, dtype)) / jnp.asarray(std, dtype)
+    return x
+
+
+# ------------------------------------------------------------------ audio
+
+def mel_filterbank(
+    num_mel_bins: int,
+    num_spectrogram_bins: int,
+    sample_rate: int,
+    lower_hz: float,
+    upper_hz: float,
+) -> np.ndarray:
+    """HTK-style triangular mel filterbank matrix (F, M), matching the
+    VGGish featuriser's spectrogram_to_mel_matrix."""
+    def hz_to_mel(hz):
+        return 1127.0 * np.log(1.0 + np.asarray(hz, np.float64) / 700.0)
+
+    nyquist = sample_rate / 2.0
+    spec_hz = np.linspace(0.0, nyquist, num_spectrogram_bins)
+    spec_mel = hz_to_mel(spec_hz)
+    band_edges = np.linspace(hz_to_mel(lower_hz), hz_to_mel(upper_hz),
+                             num_mel_bins + 2)
+    weights = np.zeros((num_spectrogram_bins, num_mel_bins), np.float32)
+    for m in range(num_mel_bins):
+        lo, center, hi = band_edges[m:m + 3]
+        lower_slope = (spec_mel - lo) / (center - lo)
+        upper_slope = (hi - spec_mel) / (hi - center)
+        weights[:, m] = np.maximum(0.0, np.minimum(lower_slope, upper_slope))
+    weights[0, :] = 0.0  # DC bin excluded
+    return weights
+
+
+def stft_kernels(window: int, fft_length: int) -> np.ndarray:
+    """Windowed DFT basis as conv kernels: (window, 1, 2*(fft//2+1)) with the
+    cos (real) parts first, then sin (imag)."""
+    n = np.arange(window)
+    hann = 0.5 - 0.5 * np.cos(2.0 * np.pi * (n + 0.0) / window)  # periodic
+    k = np.arange(fft_length // 2 + 1)
+    phase = 2.0 * np.pi * np.outer(n, k) / fft_length  # (win, F)
+    cos_k = (hann[:, None] * np.cos(phase)).astype(np.float32)
+    sin_k = (hann[:, None] * -np.sin(phase)).astype(np.float32)
+    return np.concatenate([cos_k, sin_k], axis=1)[:, None, :]  # (win, 1, 2F)
+
+
+def log_mel_examples(
+    pcm: jnp.ndarray,               # (B, S) float32 mono 16 kHz
+    *,
+    sample_rate: int = 16000,
+    window: int = 400,
+    hop: int = 160,
+    mel_bins: int = 64,
+    lower_hz: float = 125.0,
+    upper_hz: float = 7500.0,
+    log_offset: float = 0.01,
+    frames_per_example: int = 96,
+    max_examples: int = 101,
+    dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Batched PCM -> (B, max_examples, frames_per_example, mel_bins) log-mel.
+
+    STFT-as-convolution: magnitude spectrum of Hann-windowed frames computed by
+    a stride-``hop`` conv against cos/sin DFT kernels (one MXU pass, no frame
+    gather), then mel projection and log. Examples beyond the signal are
+    simply log(0 + offset) — downstream attention masks them by length.
+    """
+    fft_length = 1 << int(math.ceil(math.log2(window)))
+    F = fft_length // 2 + 1
+    kernels = jnp.asarray(stft_kernels(window, fft_length))     # (win, 1, 2F)
+    mel_mat = jnp.asarray(mel_filterbank(mel_bins, F, sample_rate,
+                                         lower_hz, upper_hz))    # (F, M)
+
+    need = (max_examples * frames_per_example - 1) * hop + window
+    B, S = pcm.shape
+    if S < need:
+        pcm = jnp.pad(pcm, ((0, 0), (0, need - S)))
+    else:
+        pcm = pcm[:, :need]
+
+    # (B, S, 1) conv (win, 1, 2F) stride hop -> (B, n_frames, 2F)
+    spec = lax.conv_general_dilated(
+        pcm[:, :, None].astype(dtype), kernels.astype(dtype),
+        window_strides=(hop,), padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    ).astype(jnp.float32)
+    re, im = jnp.split(spec, 2, axis=-1)
+    magnitude = jnp.sqrt(re * re + im * im + 1e-12)              # (B, T, F)
+    mel = jnp.dot(magnitude.astype(dtype), mel_mat.astype(dtype),
+                  preferred_element_type=jnp.float32)            # (B, T, M)
+    log_mel = jnp.log(mel + log_offset)
+    T = log_mel.shape[1]
+    n_ex = T // frames_per_example
+    log_mel = log_mel[:, : n_ex * frames_per_example]
+    return log_mel.reshape(B, n_ex, frames_per_example, mel_bins)[:, :max_examples]
+
+
+def audio_num_examples(audio_len_samples: jnp.ndarray, *, sample_rate: int = 16000,
+                       hop: int = 160, window: int = 400,
+                       frames_per_example: int = 96,
+                       max_examples: int = 101) -> jnp.ndarray:
+    """How many whole 0.96 s examples a signal of given length yields."""
+    n_frames = jnp.maximum(0, (audio_len_samples - window) // hop + 1)
+    return jnp.clip(n_frames // frames_per_example, 0, max_examples)

@@ -1,0 +1,220 @@
+"""The assembled flagship model: tri-modal encode -> attention decode.
+
+One parameter pytree, one mutable-state pytree (BN running stats), pure
+functions for encode / teacher-forced loss. Modality configurations mirror the
+reference's experiment axes (BASELINE.json configs; reference experiments.md):
+
+  mode="text"        text encoder only (AV memories zeroed/masked)
+  mode="text_video"  + conv-LSTM video encoder
+  mode="trimodal"    + VGGish-style audio encoder (flagship, reference train.py)
+
+The embedding table is a single shared parameter used by both the text encoder
+and the decoder (reference train.py:236,245,255 shared one torch Embedding).
+
+Loss semantics (reference train.py:171-181): the training objective per sample
+is the **sum** of per-step cross-entropies over the true target length (the
+reference backprops the summed loss); the *reported* loss divides by
+target_len (reference train.py:184). Batched here with explicit masks; invalid
+(padding) examples contribute zero.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mmqg_tpu.data.vocab import START_ID
+from mmqg_tpu.models import audio_encoder, decoder, frontends, text_encoder, video_encoder
+from mmqg_tpu.models import layers as L
+
+MODES = ("text", "text_video", "trimodal")
+
+
+class ModelConfig(NamedTuple):
+    """Static architecture hyperparameters (hashable -> jit-friendly)."""
+    n_vocab: int
+    word_emb_dim: int = 300
+    hidden_dim: int = 512
+    text_layers: int = 3
+    dec_layers: int = 3
+    dropout: float = 0.2
+    video_hidden_dim: int = 512
+    audio_emb_dim: int = 128
+    flatten_dim: int = 1000
+    context_max_length: int = 283
+    av_max_length: int = 101
+    target_steps: int = 22          # question_max_length + 1 (<end>)
+    mode: str = "trimodal"
+    frame_size: int = 112
+    mel_frames: int = 96
+    mel_bins: int = 64
+    sample_rate: int = 16000
+    stft_window: int = 400
+    stft_hop: int = 160
+    normalize_video: bool = True
+
+    @classmethod
+    def from_config(cls, config, n_vocab: int, mode: str = "trimodal"):
+        return cls(
+            n_vocab=n_vocab,
+            word_emb_dim=config.glove_emb_dim,
+            hidden_dim=config.text_lstm_hidden_dim,
+            text_layers=config.text_lstm_layers,
+            dec_layers=config.dec_lstm_layers,
+            dropout=config.dec_lstm_dropout,
+            video_hidden_dim=config.video_hidden_dim,
+            audio_emb_dim=config.audio_emb,
+            flatten_dim=config.flatten_dim,
+            context_max_length=config.context_max_length,
+            av_max_length=config.av_max_length,
+            target_steps=config.question_max_length + 1,
+            mode=mode,
+            frame_size=config.frame_size,
+            mel_frames=config.mel_frames_per_example,
+            mel_bins=config.mel_bins,
+            sample_rate=config.audio_sample_rate,
+            stft_window=config.stft_window,
+            stft_hop=config.stft_hop,
+        )
+
+
+def init(rng, mc: ModelConfig, emb_weights) -> Tuple[Dict, Dict]:
+    """Returns (params, state). ``emb_weights`` is the (V, D) GloVe slice."""
+    k_text, k_vid, k_aud, k_dec = jax.random.split(rng, 4)
+    params: Dict = {
+        "embedding": L.embedding_init(emb_weights),
+        "text_enc": text_encoder.init(
+            k_text, emb_dim=mc.word_emb_dim, hidden_dim=mc.hidden_dim,
+            num_layers=mc.text_layers, dropout=mc.dropout),
+        "decoder": decoder.init(
+            k_dec, n_vocab=mc.n_vocab, word_emb_dim=mc.word_emb_dim,
+            hidden_dim=mc.hidden_dim, num_layers=mc.dec_layers,
+            dropout=mc.dropout, video_emb_dim=mc.video_hidden_dim,
+            audio_emb_dim=mc.audio_emb_dim,
+            text_max_length=mc.context_max_length,
+            av_max_length=mc.av_max_length),
+    }
+    state: Dict = {}
+    if mc.mode in ("text_video", "trimodal"):
+        vparams, vstate = video_encoder.init(
+            k_vid, hidden_dim=mc.video_hidden_dim, flatten_dim=mc.flatten_dim)
+        params["video_enc"] = vparams
+        state["video_enc"] = vstate
+    if mc.mode == "trimodal":
+        params["audio_enc"] = audio_encoder.init(
+            k_aud, mel_frames=mc.mel_frames, mel_bins=mc.mel_bins,
+            embedding_dim=mc.audio_emb_dim)
+    return params, state
+
+
+def encode(
+    params: Dict,
+    state: Dict,
+    mc: ModelConfig,
+    batch: Dict[str, jnp.ndarray],
+    *,
+    train: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
+    dtype=jnp.bfloat16,
+) -> Tuple[decoder.Memories, Tuple[jnp.ndarray, jnp.ndarray], Dict]:
+    """Full tri-modal encode. ``batch`` keys: context_ids, context_len,
+    frames (uint8), frames_len, audio_pcm, audio_len.
+    Returns (memories, decoder init state, new mutable state)."""
+    B = batch["context_ids"].shape[0]
+    emb_table = params["embedding"]["table"]
+    enc_text, text_state = text_encoder.apply(
+        params["text_enc"], emb_table, batch["context_ids"],
+        batch["context_len"], train=train, dropout=mc.dropout,
+        dropout_rng=dropout_rng, dtype=dtype)
+
+    new_state = dict(state)
+    if mc.mode in ("text_video", "trimodal"):
+        frames = frontends.prepare_frames(
+            batch["frames"], size=mc.frame_size, normalize=mc.normalize_video)
+        enc_video, vstate = video_encoder.apply(
+            params["video_enc"], state["video_enc"], frames,
+            batch["frames_len"], train=train, dtype=dtype)
+        new_state["video_enc"] = vstate
+        video_len = batch["frames_len"]
+    else:
+        enc_video = jnp.zeros((B, mc.av_max_length, mc.video_hidden_dim))
+        video_len = jnp.ones((B,), jnp.int32)
+
+    if mc.mode == "trimodal":
+        mel = frontends.log_mel_examples(
+            batch["audio_pcm"], sample_rate=mc.sample_rate,
+            window=mc.stft_window, hop=mc.stft_hop,
+            mel_bins=mc.mel_bins, frames_per_example=mc.mel_frames,
+            max_examples=mc.av_max_length, dtype=dtype)
+        # reference masked the audio head by the *frame* count
+        # (model/decoder.py:93 used enc_frames); we mask by the true audio
+        # example count, falling back to >=1 to keep softmax defined.
+        audio_len = jnp.maximum(
+            frontends.audio_num_examples(
+                batch["audio_len"], sample_rate=mc.sample_rate,
+                hop=mc.stft_hop, window=mc.stft_window,
+                frames_per_example=mc.mel_frames,
+                max_examples=mc.av_max_length), 1)
+        enc_audio = audio_encoder.apply(params["audio_enc"], mel, audio_len,
+                                        dtype=dtype)
+    else:
+        enc_audio = jnp.zeros((B, mc.av_max_length, mc.audio_emb_dim))
+        audio_len = jnp.ones((B,), jnp.int32)
+
+    mem = decoder.Memories(
+        enc_text=enc_text, enc_video=enc_video, enc_audio=enc_audio,
+        text_len=batch["context_len"], video_len=video_len,
+        audio_len=audio_len)
+    # decoder state seeded by the text encoder final state (reference train.py:169)
+    return mem, text_state, new_state
+
+
+def loss_fn(
+    params: Dict,
+    state: Dict,
+    mc: ModelConfig,
+    batch: Dict[str, jnp.ndarray],
+    *,
+    train: bool = True,
+    dropout_rng: Optional[jax.Array] = None,
+    use_pallas: bool = True,
+    dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, Dict]:
+    """Teacher-forced masked CE. Returns (objective, aux dict).
+    objective = mean over valid samples of per-sample summed CE
+    (reference train.py:174-177 backprops the per-sample sum)."""
+    target = batch["target_ids"]                       # (B, T)
+    B, T = target.shape
+    start = jnp.full((B, 1), START_ID, target.dtype)
+    dec_inputs = jnp.concatenate([start, target[:, :-1]], axis=1)
+
+    mem, dec_state, new_state = encode(
+        params, state, mc, batch, train=train, dropout_rng=dropout_rng,
+        dtype=dtype)
+    logits = decoder.teacher_forced_logits(
+        params["decoder"], params["embedding"]["table"], dec_inputs, mem,
+        dec_state, train=train, dropout=mc.dropout, dropout_rng=dropout_rng,
+        use_pallas=use_pallas, dtype=dtype)             # (B, T, V)
+
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    tok_ll = jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
+    step_mask = (jnp.arange(T)[None, :] < batch["target_len"][:, None])
+    valid = batch.get("valid", jnp.ones((B,), bool))
+    step_mask = step_mask & valid[:, None]
+    ce = -(tok_ll * step_mask)                          # (B, T)
+
+    per_sample_sum = ce.sum(axis=1)                     # (B,)
+    n_valid = jnp.maximum(valid.sum(), 1)
+    objective = per_sample_sum.sum() / n_valid
+
+    tgt_len = jnp.maximum(batch["target_len"], 1)
+    per_sample_mean = per_sample_sum / tgt_len          # reference-style stat
+    aux = {
+        "state": new_state,
+        "loss_per_sample": (per_sample_mean * valid).sum() / n_valid,
+        "loss_per_token": ce.sum() / jnp.maximum(step_mask.sum(), 1),
+        "n_tokens": step_mask.sum(),
+    }
+    return objective, aux

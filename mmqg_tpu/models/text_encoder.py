@@ -1,0 +1,81 @@
+"""Text encoder: shared embedding -> 3-layer LSTM over the context.
+
+Parity target: reference ``TextEncoder`` (model/encoder.py:80-111) — GloVe
+embedding (shared with the decoder, reference train.py:236,245,255), LSTM
+hidden 512 x 3 layers, dropout 0.2 between layers, zero initial state.
+
+TPU-first difference: the whole padded context (B, 283) runs in one
+``lax.scan`` (reference stepped one token at a time from the driver,
+train.py:164-166). The returned per-step outputs are the decoder's text
+attention memory; the final (h, c) seeds the decoder state
+(reference train.py:169: ``dec_hidden = text_enc_hidden``).
+
+Padding note: scanning past ``context_len`` pollutes the *final* state with
+pad steps, which the reference (exact-length loop) never did. We therefore
+collect per-step states and gather each sample's state at ``context_len - 1``
+— bitwise the same semantics as the reference's dynamic loop, with static
+shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from mmqg_tpu.models import layers as L
+
+
+def init(rng, *, emb_dim: int = 300, hidden_dim: int = 512,
+         num_layers: int = 3, dropout: float = 0.2) -> Dict:
+    """The embedding table is NOT owned here: it is shared with the decoder
+    and lives once at the model top level (reference train.py:236,245,255
+    passed one Embedding into both modules)."""
+    return {"lstm": L.lstm_init(rng, emb_dim, hidden_dim, num_layers)}
+
+
+def apply(
+    params: Dict,
+    emb_table: jnp.ndarray,         # (V, D) shared embedding table
+    context_ids: jnp.ndarray,       # (B, Lc) int32
+    context_len: jnp.ndarray,       # (B,) int32
+    *,
+    train: bool = False,
+    dropout: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Returns (enc_outputs (B, Lc, H) zero-masked past length,
+    state-at-length (h, c) each (L, B, H))."""
+    B, Lc = context_ids.shape
+    lstm = params["lstm"]
+    nl, H = L.lstm_dims(lstm)
+    emb = jnp.take(emb_table, context_ids, axis=0)           # (B, Lc, D)
+
+    # scan over time, capturing the full stacked state at every step so we can
+    # gather the state at each sample's true length.
+    def body(carry, x_t):
+        h, c = carry
+        top, (h2, c2) = L.lstm_step(lstm, x_t, (h, c),
+                                    dropout_rate=dropout,
+                                    dropout_rng=dropout_rng, train=train,
+                                    dtype=dtype)
+        return (h2, c2), (top, h2, c2)
+
+    init_state = L.lstm_zero_state(nl, B, H)
+    _, (tops, hs, cs) = lax.scan(body, init_state, jnp.swapaxes(emb, 0, 1))
+    enc_outputs = jnp.swapaxes(tops, 0, 1)                   # (B, Lc, H)
+
+    # mask outputs past the true length (reference wrote into a zero buffer —
+    # train.py:160-166 — so padded positions were exactly zero)
+    mask = (jnp.arange(Lc)[None, :] < context_len[:, None])[..., None]
+    enc_outputs = jnp.where(mask, enc_outputs, 0.0)
+
+    # state at step context_len-1 per sample: hs is (Lc, L, B, H)
+    idx = jnp.clip(context_len - 1, 0, Lc - 1)               # (B,)
+    h_final = jnp.transpose(hs, (2, 0, 1, 3))[jnp.arange(B), idx]  # (B, L, H)
+    c_final = jnp.transpose(cs, (2, 0, 1, 3))[jnp.arange(B), idx]
+    state = (jnp.transpose(h_final, (1, 0, 2)), jnp.transpose(c_final, (1, 0, 2)))
+    return enc_outputs, state

@@ -1,0 +1,12 @@
+"""Scaling layer: device meshes, sharding rules, distributed train/eval.
+
+The reference had no parallelism of any kind (single CPU process, batch 1 —
+reference train.py:223,233; SURVEY.md §2 C26-C28). This package supplies the
+TPU-native equivalents: a (data, model) ``jax.sharding.Mesh``, partition rules
+for every parameter/batch leaf, and jit-compiled steps whose collectives
+(grad psum for DP, all-gathers for TP) are emitted by XLA/GSPMD over ICI.
+"""
+
+from mmqg_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh, batch_sharding, param_shardings, shard_batch, shard_params,
+)

@@ -1,0 +1,128 @@
+"""Mesh construction and sharding rules.
+
+Design (scaling-book recipe): pick a mesh, annotate shardings on params and
+batch, let XLA insert the collectives, profile, iterate.
+
+Axes:
+  "data"  — batch dimension; gradients all-reduce (psum) over ICI.
+  "model" — tensor-parallel axis:
+      * LSTM gate matrices (In, 4H) and (H, 4H) shard the 4H output dim —
+        each device computes its gate slice; elementwise gate math stays
+        local; the (B, H) hidden outputs re-gather where consumed;
+      * the vocab projection (H, V) shards V — logits are computed sharded
+        and only log-softmax reductions cross the axis;
+      * attention location heads (Dq, L) shard L the same way;
+      * embeddings / biases / BN stats replicate (small).
+
+The reference model is ~30M params, so DP is the primary axis; TP rules exist
+so the same code scales when dims grow (and to exercise multi-axis sharding in
+CI via a host-device mesh, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(shape: Optional[Tuple[int, int]] = None,
+              axis_names: Tuple[str, str] = ("data", "model"),
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a (data, model) mesh. Default: all devices on the data axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (len(devices), 1)
+    if shape[0] * shape[1] != len(devices):
+        raise ValueError(f"mesh shape {shape} != {len(devices)} devices")
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axis_names)
+
+
+# ---------------------------------------------------------------- param rules
+
+def _spec_for(path: str, leaf) -> P:
+    """Partition spec for one parameter leaf, keyed by its tree path."""
+    if not hasattr(leaf, "ndim") or leaf.ndim < 2:
+        return P()  # biases, scalars, BN vectors: replicated
+    # LSTM fused gate weights: (In, 4H) / (H, 4H) -> shard gate dim
+    if re.search(r"lstm.*(wx|wh)$", path):
+        return P(None, "model")
+    # output vocab projection and attention location heads: shard columns
+    if re.search(r"(out|attn).*w", path) or path.endswith("out/w"):
+        return P(None, "model")
+    # dense layers in the audio encoder: shard output features
+    if re.search(r"fc\d/w$", path):
+        return P(None, "model")
+    # conv kernels (H, W, I, O): shard output channels
+    if leaf.ndim == 4:
+        return P(None, None, None, "model")
+    # embedding table: replicated (gathered by ids everywhere)
+    return P()
+
+
+def _tree_paths(tree, prefix=""):
+    """Yield (path_string, leaf) over a nested dict/list/tuple pytree."""
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _tree_paths(v, f"{prefix}{k}/")
+    elif isinstance(tree, (list, tuple)) and not hasattr(tree, "shape"):
+        for i, v in enumerate(tree):
+            yield from _tree_paths(v, f"{prefix}{i}/")
+    else:
+        yield prefix.rstrip("/"), tree
+
+
+def param_shardings(params, mesh: Mesh):
+    """Pytree of NamedShardings matching ``params``' structure."""
+    def build(tree, prefix=""):
+        if isinstance(tree, dict):
+            return {k: build(v, f"{prefix}{k}/") for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)) and not hasattr(tree, "shape"):
+            t = type(tree)
+            built = [build(v, f"{prefix}{i}/") for i, v in enumerate(tree)]
+            if hasattr(tree, "_fields"):  # NamedTuple (AttnParams, optax)
+                return t(*built)
+            return t(built) if t is not tuple else tuple(built)
+        if hasattr(tree, "ndim"):
+            spec = _spec_for(prefix.rstrip("/"), tree)
+            # don't shard dims not divisible by the axis size
+            axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+            fixed = []
+            for d, name in enumerate(spec):
+                if name is not None and tree.shape[d] % axis_sizes.get(name, 1):
+                    fixed.append(None)
+                else:
+                    fixed.append(name)
+            return NamedSharding(mesh, P(*fixed))
+        return NamedSharding(mesh, P())  # python scalars piggyback replicated
+    return build(params)
+
+
+def shard_params(params, mesh: Mesh):
+    """Place a parameter pytree onto the mesh per the TP rules."""
+    shardings = param_shardings(params, mesh)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, s) if hasattr(x, "ndim") else x,
+        params, shardings,
+        is_leaf=lambda x: hasattr(x, "ndim") or not isinstance(x, (dict, list, tuple)))
+
+
+# ---------------------------------------------------------------- batch rules
+
+def batch_sharding(mesh: Mesh):
+    """Leading (batch) dim over the data axis, rest replicated."""
+    def spec(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            return NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+        return NamedSharding(mesh, P())
+    return spec
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    sb = batch_sharding(mesh)
+    return {k: jax.device_put(v, sb(v)) for k, v in batch.items()
+            if hasattr(v, "ndim")}

