@@ -1,0 +1,98 @@
+"""Command-line drivers.
+
+``mmqg-train``   — the reference's ``python train.py`` driver (train.py:220-297)
+                   plus flags the reference lacked (mode, epochs, resume).
+``mmqg-prepare`` — the reference's whole offline prep chain in one command:
+                   assign ids -> salient frames/audio/text (dataset/*.py) ->
+                   GloVe ingest (get_glove_matrix.py) -> text normalisation
+                   (preprocess_text.py) -> vocab/splits/weights
+                   (prepare_data.py). Stages are selectable; each writes the
+                   reference's artifact layout so partial interop works.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+from mmqg_tpu.config import Config
+
+
+def train_main(argv: Optional[List[str]] = None) -> None:
+    parser = argparse.ArgumentParser(description="Train the QG model")
+    parser.add_argument("-c", "--config_path", type=str, default=None)
+    parser.add_argument("--mode", type=str, default="trimodal",
+                        choices=["text", "text_video", "trimodal"])
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the last checkpoint")
+    args = parser.parse_args(argv)
+
+    from mmqg_tpu.data.dataset import QGDataset
+    from mmqg_tpu.models import qg_model
+    from mmqg_tpu.train import Trainer
+
+    config = (Config.load(args.config_path) if args.config_path else Config())
+    config.ensure_dirs()
+    load_media = args.mode != "text"
+    train_ds = QGDataset(config, config.train_file, load_media=load_media)
+    val_ds = QGDataset(config, config.val_file, load_media=load_media)
+    emb = np.load(config.weights_matrix_file).astype(np.float32)
+    mc = qg_model.ModelConfig.from_config(config, n_vocab=len(train_ds.vocab),
+                                          mode=args.mode)
+    trainer = Trainer(config, mc, emb, train_ds, val_ds)
+    if args.resume and trainer.resume("last"):
+        print(f"resumed at epoch {trainer.start_epoch}")
+    stats, best_epoch = trainer.fit(args.epochs)
+    print(f"Best epoch - {best_epoch} !")
+    print("Done !")
+
+
+def prepare_main(argv: Optional[List[str]] = None) -> None:
+    parser = argparse.ArgumentParser(description="Offline data preparation")
+    parser.add_argument("-c", "--config_path", type=str, default=None)
+    parser.add_argument("--stages", type=str, default="saliency,glove,text,data",
+                        help="comma list of: saliency, glove, text, data")
+    args = parser.parse_args(argv)
+
+    config = (Config.load(args.config_path) if args.config_path else Config())
+    config.ensure_dirs()
+    stages = set(args.stages.split(","))
+
+    if "saliency" in stages:
+        from mmqg_tpu.data.saliency import run_prep_pipeline
+        stats = run_prep_pipeline(config)
+        print(f"saliency: {stats}")
+
+    if "glove" in stages:
+        from mmqg_tpu.data.glove import ingest_glove
+        matrix = ingest_glove(config)
+        print(f"glove: {matrix.shape[0]} words")
+
+    if "text" in stages:
+        from mmqg_tpu.data.text_prep import preprocess_corpus
+        with open(config.salient_text_file, encoding="utf8") as f:
+            corpus = json.load(f)
+        failed_id, processed = preprocess_corpus(corpus)
+        if processed is None:
+            raise SystemExit(f"Error: preprocessing {failed_id} returned None.")
+        with open(config.preprocessed_text_file, "w") as f:
+            json.dump(processed, f)
+        print(f"text: {len(processed)} records")
+
+    if "data" in stages:
+        from mmqg_tpu.data.vocab import prepare_data
+        with open(config.preprocessed_text_file) as f:
+            processed = json.load(f)
+        info = prepare_data(config, processed)
+        print(f"data: vocab={len(info['vocab'])} splits={info['splits']}")
+
+    print("Done !")
+
+
+if __name__ == "__main__":
+    train_main()

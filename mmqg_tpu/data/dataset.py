@@ -38,7 +38,7 @@ class Batch:
     context_len: np.ndarray    # (B,)  int32
     frames: np.ndarray         # (B, Tav, H, W, 3) uint8
     frames_len: np.ndarray     # (B,)  int32  (n salient frames == n AV steps)
-    audio_pcm: np.ndarray      # (B, S) float32 mono 16 kHz
+    audio_pcm: np.ndarray      # (B, S) int16 PCM mono 16 kHz (f32 also accepted)
     audio_len: np.ndarray      # (B,)  int32  (samples)
     target_ids: np.ndarray     # (B, Td) int32   question tokens + <end>
     target_len: np.ndarray     # (B,)  int32
@@ -95,10 +95,13 @@ class QGDataset:
         self.question_id = np.zeros((n,), np.int32)
         self.frames = np.zeros((n, Tav, H, W, 3), np.uint8)
         self.frames_len = np.zeros((n,), np.int32)
-        self.audio_pcm = np.zeros((n, S), np.float32)
+        # PCM16 on the wire: half the H2D bytes of f32; device converts
+        self.audio_pcm = np.zeros((n, S), np.int16)
         self.audio_len = np.zeros((n,), np.int32)
         self.questions: List[str] = []
 
+        frame_paths: List[Optional[str]] = []
+        wav_paths: List[Optional[str]] = []
         for i, rec in enumerate(self.records):
             ctx = encode_tokens(rec["context"], vocab)
             tgt = encode_tokens(f"{rec['question']} {END}", vocab)
@@ -108,26 +111,46 @@ class QGDataset:
             self.target_len[i] = min(len(tgt), Td)
             self.question_id[i] = int(rec["question_id"])
             self.questions.append(rec["question"])
+            vid, qid = rec["video_id"], rec["question_id"]
+            fpath = Path(config.salient_frames_path) / f"v_{vid}_q_{qid}_.npy"
+            apath = Path(config.salient_audio_path) / f"v_{vid}_q_{qid}_.wav"
+            frame_paths.append(str(fpath) if load_media and os.path.exists(fpath) else None)
+            wav_paths.append(str(apath) if load_media and os.path.exists(apath) else None)
 
-            if load_media:
-                vid, qid = rec["video_id"], rec["question_id"]
-                fpath = Path(config.salient_frames_path) / f"v_{vid}_q_{qid}_.npy"
-                if os.path.exists(fpath):
-                    fr = np.load(fpath)
-                    t = min(fr.shape[0], Tav)
-                    if t > 0:
-                        self.frames[i, :t] = fr[:t]
-                    self.frames_len[i] = t
-                apath = Path(config.salient_audio_path) / f"v_{vid}_q_{qid}_.wav"
-                if os.path.exists(apath):
-                    pcm = wavio.load_mono_16k(apath, config.audio_sample_rate)
-                    s = min(len(pcm), S)
-                    self.audio_pcm[i, :s] = pcm[:s]
-                    self.audio_len[i] = s
-            # When media is absent we still expose >=1 AV step so attention
-            # over the AV axes stays well-defined (all-masked softmax is NaN).
-            if self.frames_len[i] == 0:
-                self.frames_len[i] = 1
+        if load_media:
+            self._load_media(frame_paths, wav_paths)
+        # When media is absent we still expose >=1 AV step so attention over
+        # the AV axes stays well-defined (all-masked softmax is NaN).
+        np.maximum(self.frames_len, 1, out=self.frames_len)
+
+    def _load_media(self, frame_paths, wav_paths) -> None:
+        """Fill frame/audio buffers — threaded C++ packer when available
+        (native/mmqg_host.cpp), Python fallback otherwise."""
+        from mmqg_tpu.data import native
+
+        handle = native.pack_batch_async(
+            frame_paths, wav_paths, self.frames, self.audio_pcm,
+            self.frames_len, self.audio_len,
+            target_rate=self.config.audio_sample_rate,
+            n_threads=max(2, (os.cpu_count() or 1)))
+        if handle is not None:
+            handle.wait()  # item failures leave zero lengths (masked out)
+            return
+        S = self.audio_pcm.shape[1]
+        Tav = self.frames.shape[1]
+        for i, (fp, ap) in enumerate(zip(frame_paths, wav_paths)):
+            if fp is not None:
+                fr = np.load(fp)
+                t = min(fr.shape[0], Tav)
+                if t > 0:
+                    self.frames[i, :t] = fr[:t]
+                self.frames_len[i] = t
+            if ap is not None:
+                pcm = wavio.load_mono_16k(ap, self.config.audio_sample_rate)
+                s = min(len(pcm), S)
+                self.audio_pcm[i, :s] = np.clip(
+                    pcm[:s] * 32767.0, -32768, 32767).astype(np.int16)
+                self.audio_len[i] = s
 
     def __len__(self) -> int:
         return len(self.records)

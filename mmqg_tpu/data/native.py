@@ -1,0 +1,164 @@
+"""ctypes bindings for the C++ host-ingest runtime (native/mmqg_host.cpp).
+
+Builds the shared library on first use (g++ is in the image; pybind11 is
+not, hence the C ABI + ctypes). Every entry point has a pure-Python fallback
+so the framework works without a toolchain — the native path is the
+production ingest (threaded batch packing overlapping TPU compute).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+_REPO = Path(__file__).resolve().parents[2]
+_NATIVE_DIR = _REPO / "native"
+_LIB_PATH = _NATIVE_DIR / "libmmqg_host.so"
+_lib = None
+_lib_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                       capture_output=True, timeout=120)
+        return _LIB_PATH.exists()
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _lib_tried
+    if _lib is not None or _lib_tried:
+        return _lib
+    _lib_tried = True
+    if not _LIB_PATH.exists() and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+    lib.mmqg_load_wav_mono.restype = ctypes.c_long
+    lib.mmqg_load_wav_mono.argtypes = [
+        ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_long]
+    lib.mmqg_load_frames.restype = ctypes.c_long
+    lib.mmqg_load_frames.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.mmqg_pack_submit.restype = ctypes.c_void_p
+    lib.mmqg_pack_submit.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_long, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int]
+    lib.mmqg_pack_wait.restype = ctypes.c_int
+    lib.mmqg_pack_wait.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+# ------------------------------------------------------------- simple calls
+
+def load_wav_mono(path, target_rate: int, max_samples: int) -> Optional[np.ndarray]:
+    """Native wav -> mono int16 at target_rate; None if lib unavailable or
+    the file fails to parse (caller falls back to the Python reader)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.zeros((max_samples,), np.int16)
+    n = lib.mmqg_load_wav_mono(
+        str(path).encode(), target_rate,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), max_samples)
+    if n < 0:
+        return None
+    return out[:n]
+
+
+def load_frames(path, t_max: int, h: int, w: int) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.zeros((t_max, h, w, 3), np.uint8)
+    n = lib.mmqg_load_frames(
+        str(path).encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        t_max, h, w)
+    if n < 0:
+        return None
+    return out[:n]
+
+
+# ----------------------------------------------------------- async packing
+
+class PackHandle:
+    def __init__(self, lib, handle, arrays):
+        self._lib = lib
+        self._handle = handle
+        self._arrays = arrays  # keep alive until wait()
+
+    def wait(self) -> int:
+        """Join the pack job; returns the number of failed items."""
+        if self._handle is None:
+            return 0
+        errors = self._lib.mmqg_pack_wait(ctypes.c_void_p(self._handle))
+        self._handle = None
+        return errors
+
+
+def pack_batch_async(
+    frame_paths: Sequence[Optional[str]],
+    wav_paths: Sequence[Optional[str]],
+    frames: np.ndarray,       # (n, t_max, h, w, 3) uint8, preallocated
+    audio: np.ndarray,        # (n, s_max) int16, preallocated
+    frames_len: np.ndarray,   # (n,) int32
+    audio_len: np.ndarray,    # (n,) int32
+    *,
+    target_rate: int = 16000,
+    n_threads: int = 2,
+) -> Optional[PackHandle]:
+    """Kick off threaded filling of a batch's media slots; overlap with TPU
+    compute and call .wait() before shipping the arrays. None if the native
+    lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, t_max, h, w, _ = frames.shape
+    s_max = audio.shape[1]
+
+    def c_paths(paths):
+        arr = (ctypes.c_char_p * n)()
+        keep = []
+        for i, p in enumerate(paths):
+            if p is None:
+                arr[i] = None
+            else:
+                b = str(p).encode()
+                keep.append(b)
+                arr[i] = b
+        return arr, keep
+
+    fp_arr, keep1 = c_paths(frame_paths)
+    wp_arr, keep2 = c_paths(wav_paths)
+    handle = lib.mmqg_pack_submit(
+        fp_arr, wp_arr, n,
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), t_max, h, w,
+        audio.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), s_max,
+        target_rate,
+        frames_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        audio_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_threads)
+    return PackHandle(lib, handle, (frames, audio, frames_len, audio_len,
+                                    fp_arr, wp_arr, keep1, keep2))

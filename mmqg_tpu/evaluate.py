@@ -106,6 +106,11 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
                         load_media=(args.mode != "text"))
     mc = qg_model.ModelConfig.from_config(config, n_vocab=len(dataset.vocab),
                                           mode=args.mode)
+    if not ckpt.has_checkpoint(config.checkpoint_dir, alias):
+        raise SystemExit(
+            f"error: no '{alias}' checkpoint in {config.checkpoint_dir} — "
+            f"train first (mmqg-train) or pass "
+            f"{'--best' if alias == 'last' else '--last'}")
     optimizer = make_optimizer(config)
     emb = np.load(config.weights_matrix_file).astype(np.float32)
     template = init_train_state(jax.random.PRNGKey(0), mc, emb, optimizer)

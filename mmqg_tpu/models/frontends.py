@@ -86,16 +86,20 @@ def mel_filterbank(
     return weights
 
 
-def stft_kernels(window: int, fft_length: int) -> np.ndarray:
-    """Windowed DFT basis as conv kernels: (window, 1, 2*(fft//2+1)) with the
-    cos (real) parts first, then sin (imag)."""
+def stft_kernels(window: int, fft_length: int, padded_window: int = 0) -> np.ndarray:
+    """Windowed DFT basis as a matmul kernel: (padded_window, 2*(fft//2+1))
+    with the cos (real) parts first, then sin (imag). Rows past ``window``
+    are zero (the framing path hands over hop-aligned slabs)."""
+    padded_window = padded_window or window
     n = np.arange(window)
     hann = 0.5 - 0.5 * np.cos(2.0 * np.pi * (n + 0.0) / window)  # periodic
     k = np.arange(fft_length // 2 + 1)
     phase = 2.0 * np.pi * np.outer(n, k) / fft_length  # (win, F)
     cos_k = (hann[:, None] * np.cos(phase)).astype(np.float32)
     sin_k = (hann[:, None] * -np.sin(phase)).astype(np.float32)
-    return np.concatenate([cos_k, sin_k], axis=1)[:, None, :]  # (win, 1, 2F)
+    out = np.zeros((padded_window, 2 * (fft_length // 2 + 1)), np.float32)
+    out[:window] = np.concatenate([cos_k, sin_k], axis=1)
+    return out
 
 
 def log_mel_examples(
@@ -114,39 +118,47 @@ def log_mel_examples(
 ) -> jnp.ndarray:
     """Batched PCM -> (B, max_examples, frames_per_example, mel_bins) log-mel.
 
-    STFT-as-convolution: magnitude spectrum of Hann-windowed frames computed by
-    a stride-``hop`` conv against cos/sin DFT kernels (one MXU pass, no frame
-    gather), then mel projection and log. Examples beyond the signal are
-    simply log(0 + offset) — downstream attention masks them by length.
+    STFT-as-matmul: the signal is reshaped into hop-sized chunks (pure
+    reshape, no gather), each analysis frame is the concat of
+    ceil(window/hop) consecutive chunks, and the windowed DFT is one MXU
+    matmul against a zero-padded cos/sin basis. This runs ~15x faster than
+    the equivalent strided wide-kernel conv, which XLA lowers poorly on TPU.
+    Examples beyond the signal are log(0 + offset) — downstream attention
+    masks them by length.
     """
+    if pcm.dtype == jnp.int16:
+        # loaders ship PCM16 over the wire (half the H2D bytes of f32);
+        # convert on device
+        pcm = pcm.astype(jnp.float32) / 32768.0
     fft_length = 1 << int(math.ceil(math.log2(window)))
     F = fft_length // 2 + 1
-    kernels = jnp.asarray(stft_kernels(window, fft_length))     # (win, 1, 2F)
+    k = -(-window // hop)                       # chunks per frame
+    padded_window = k * hop
+    kernels = jnp.asarray(stft_kernels(window, fft_length, padded_window))
     mel_mat = jnp.asarray(mel_filterbank(mel_bins, F, sample_rate,
                                          lower_hz, upper_hz))    # (F, M)
 
-    need = (max_examples * frames_per_example - 1) * hop + window
+    n_frames = max_examples * frames_per_example
+    n_chunks = n_frames + k - 1
+    need = n_chunks * hop
     B, S = pcm.shape
     if S < need:
         pcm = jnp.pad(pcm, ((0, 0), (0, need - S)))
     else:
         pcm = pcm[:, :need]
 
-    # (B, S, 1) conv (win, 1, 2F) stride hop -> (B, n_frames, 2F)
-    spec = lax.conv_general_dilated(
-        pcm[:, :, None].astype(dtype), kernels.astype(dtype),
-        window_strides=(hop,), padding="VALID",
-        dimension_numbers=("NWC", "WIO", "NWC"),
-    ).astype(jnp.float32)
+    chunks = pcm.reshape(B, n_chunks, hop)
+    # frame f = chunks[f : f+k] concatenated -> (B, n_frames, k*hop)
+    frames = jnp.concatenate(
+        [chunks[:, i:n_chunks - k + 1 + i] for i in range(k)], axis=-1)
+    spec = jnp.dot(frames.astype(dtype), kernels.astype(dtype),
+                   preferred_element_type=jnp.float32)           # (B, T, 2F)
     re, im = jnp.split(spec, 2, axis=-1)
     magnitude = jnp.sqrt(re * re + im * im + 1e-12)              # (B, T, F)
     mel = jnp.dot(magnitude.astype(dtype), mel_mat.astype(dtype),
                   preferred_element_type=jnp.float32)            # (B, T, M)
     log_mel = jnp.log(mel + log_offset)
-    T = log_mel.shape[1]
-    n_ex = T // frames_per_example
-    log_mel = log_mel[:, : n_ex * frames_per_example]
-    return log_mel.reshape(B, n_ex, frames_per_example, mel_bins)[:, :max_examples]
+    return log_mel.reshape(B, max_examples, frames_per_example, mel_bins)
 
 
 def audio_num_examples(audio_len_samples: jnp.ndarray, *, sample_rate: int = 16000,

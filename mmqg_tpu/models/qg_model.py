@@ -54,6 +54,8 @@ class ModelConfig(NamedTuple):
     stft_window: int = 400
     stft_hop: int = 160
     normalize_video: bool = True
+    vid_mean: Tuple[float, float, float] = (0.43216, 0.394666, 0.37645)
+    vid_std: Tuple[float, float, float] = (0.22803, 0.22145, 0.216989)
 
     @classmethod
     def from_config(cls, config, n_vocab: int, mode: str = "trimodal"):
@@ -77,6 +79,8 @@ class ModelConfig(NamedTuple):
             sample_rate=config.audio_sample_rate,
             stft_window=config.stft_window,
             stft_hop=config.stft_hop,
+            vid_mean=tuple(config.vid_mean),
+            vid_std=tuple(config.vid_std),
         )
 
 
@@ -117,6 +121,7 @@ def encode(
     *,
     train: bool = False,
     dropout_rng: Optional[jax.Array] = None,
+    use_pallas: bool = True,
     dtype=jnp.bfloat16,
 ) -> Tuple[decoder.Memories, Tuple[jnp.ndarray, jnp.ndarray], Dict]:
     """Full tri-modal encode. ``batch`` keys: context_ids, context_len,
@@ -127,15 +132,27 @@ def encode(
     enc_text, text_state = text_encoder.apply(
         params["text_enc"], emb_table, batch["context_ids"],
         batch["context_len"], train=train, dropout=mc.dropout,
-        dropout_rng=dropout_rng, dtype=dtype)
+        dropout_rng=dropout_rng, use_pallas=use_pallas, dtype=dtype)
 
     new_state = dict(state)
     if mc.mode in ("text_video", "trimodal"):
-        frames = frontends.prepare_frames(
-            batch["frames"], size=mc.frame_size, normalize=mc.normalize_video)
-        enc_video, vstate = video_encoder.apply(
-            params["video_enc"], state["video_enc"], frames,
-            batch["frames_len"], train=train, dtype=dtype)
+        frames = batch["frames"]
+        norm = (mc.vid_mean, mc.vid_std) if mc.normalize_video else ((0., 0., 0.), (1., 1., 1.))
+        if frames.dtype == jnp.uint8 and frames.shape[2] == frames.shape[3] == mc.frame_size:
+            # fast path: raw uint8 straight into conv1 with the /255 + mean/std
+            # transform folded into its weights (zero preprocessing cost)
+            enc_video, vstate = video_encoder.apply(
+                params["video_enc"], state["video_enc"], frames,
+                batch["frames_len"], train=train, normalization=norm,
+                use_pallas=use_pallas, dtype=dtype)
+        else:
+            prepared = frontends.prepare_frames(
+                frames, size=mc.frame_size, mean=mc.vid_mean, std=mc.vid_std,
+                normalize=mc.normalize_video)
+            enc_video, vstate = video_encoder.apply(
+                params["video_enc"], state["video_enc"], prepared,
+                batch["frames_len"], train=train, use_pallas=use_pallas,
+                dtype=dtype)
         new_state["video_enc"] = vstate
         video_len = batch["frames_len"]
     else:
@@ -192,7 +209,7 @@ def loss_fn(
 
     mem, dec_state, new_state = encode(
         params, state, mc, batch, train=train, dropout_rng=dropout_rng,
-        dtype=dtype)
+        use_pallas=use_pallas, dtype=dtype)
     logits = decoder.teacher_forced_logits(
         params["decoder"], params["embedding"]["table"], dec_inputs, mem,
         dec_state, train=train, dropout=mc.dropout, dropout_rng=dropout_rng,

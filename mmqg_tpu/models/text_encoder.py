@@ -45,6 +45,7 @@ def apply(
     train: bool = False,
     dropout: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    use_pallas: bool = False,
     dtype=jnp.bfloat16,
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Returns (enc_outputs (B, Lc, H) zero-masked past length,
@@ -54,28 +55,36 @@ def apply(
     nl, H = L.lstm_dims(lstm)
     emb = jnp.take(emb_table, context_ids, axis=0)           # (B, Lc, D)
 
-    # scan over time, capturing the full stacked state at every step so we can
-    # gather the state at each sample's true length.
-    def body(carry, x_t):
-        h, c = carry
+    if use_pallas and not train and jax.default_backend() not in ("cpu",):
+        # fused Pallas sequence kernel: weights stay VMEM-resident across all
+        # Lc steps; masking + final-state latching happen in-kernel
+        from mmqg_tpu.ops.lstm_pallas import lstm_stack_pallas
+        return lstm_stack_pallas(lstm, emb, lengths=context_len,
+                                 mask_output=True, dtype=dtype)
+
+    # Single scan over time. The per-sample final state (at context_len-1) is
+    # LATCHED inside the carry instead of materialising every step's stacked
+    # state (which would write Lc*L*B*H*2 floats of HBM just to gather B rows).
+    def body(carry, inp):
+        (h, c, lh, lc) = carry
+        x_t, t = inp
         top, (h2, c2) = L.lstm_step(lstm, x_t, (h, c),
                                     dropout_rate=dropout,
                                     dropout_rng=dropout_rng, train=train,
                                     dtype=dtype)
-        return (h2, c2), (top, h2, c2)
+        is_last = (context_len - 1 == t)[None, :, None]      # (1, B, 1)
+        lh = jnp.where(is_last, h2, lh)
+        lc = jnp.where(is_last, c2, lc)
+        return (h2, c2, lh, lc), top
 
-    init_state = L.lstm_zero_state(nl, B, H)
-    _, (tops, hs, cs) = lax.scan(body, init_state, jnp.swapaxes(emb, 0, 1))
+    z = L.lstm_zero_state(nl, B, H)
+    init = (z[0], z[1], z[0], z[1])
+    (_, _, lh, lc), tops = lax.scan(
+        body, init, (jnp.swapaxes(emb, 0, 1), jnp.arange(Lc)))
     enc_outputs = jnp.swapaxes(tops, 0, 1)                   # (B, Lc, H)
 
     # mask outputs past the true length (reference wrote into a zero buffer —
     # train.py:160-166 — so padded positions were exactly zero)
     mask = (jnp.arange(Lc)[None, :] < context_len[:, None])[..., None]
     enc_outputs = jnp.where(mask, enc_outputs, 0.0)
-
-    # state at step context_len-1 per sample: hs is (Lc, L, B, H)
-    idx = jnp.clip(context_len - 1, 0, Lc - 1)               # (B,)
-    h_final = jnp.transpose(hs, (2, 0, 1, 3))[jnp.arange(B), idx]  # (B, L, H)
-    c_final = jnp.transpose(cs, (2, 0, 1, 3))[jnp.arange(B), idx]
-    state = (jnp.transpose(h_final, (1, 0, 2)), jnp.transpose(c_final, (1, 0, 2)))
-    return enc_outputs, state
+    return enc_outputs, (lh, lc)

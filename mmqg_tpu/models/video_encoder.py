@@ -59,14 +59,35 @@ def init(rng, *, in_channels: int = 3, kernel: int = 3,
     }, {"bns": bn_state}
 
 
+def fold_normalization(conv1: Dict, mean, std) -> Dict:
+    """Absorb ``(u8/255 - mean)/std`` into the first conv's weights+bias so
+    raw uint8 frames feed the conv directly — the whole host/device transform
+    stage (reference utils/custom_transforms.py:14-21) becomes free.
+    conv(x*scale + shift, W) = conv(x, W*scale) + sum(W*shift)."""
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    scale = 1.0 / (255.0 * std)                       # (3,)
+    shift = -mean / std                               # (3,)
+    w = conv1["w"]                                    # (k, k, 3, C)
+    w2 = w * scale[None, None, :, None]
+    b2 = conv1["b"] + (w * shift[None, None, :, None]).sum((0, 1, 2))
+    return {"w": w2, "b": b2}
+
+
 def cnn_features(params: Dict, state: Dict, frames: jnp.ndarray, *,
                  train: bool, frame_mask: Optional[jnp.ndarray] = None,
+                 normalization: Optional[Tuple] = None,
                  dtype=jnp.bfloat16) -> Tuple[jnp.ndarray, Dict]:
-    """(N, H, W, 3) float frames -> (N, flatten_dim) features.
+    """(N, H, W, 3) frames -> (N, flatten_dim) features. Frames may be uint8
+    with ``normalization=(mean, std)`` (folded into conv1, see
+    fold_normalization) or pre-normalised float.
     ``frame_mask`` (N,) bool selects frames contributing to BN statistics."""
     x = frames
+    convs = list(params["convs"])
+    if normalization is not None:
+        convs[0] = fold_normalization(convs[0], *normalization)
     new_bn_state = []
-    for i, (conv, bn, bn_s) in enumerate(zip(params["convs"], params["bns"],
+    for i, (conv, bn, bn_s) in enumerate(zip(convs, params["bns"],
                                              state["bns"])):
         x = jax.nn.relu(L.conv2d(conv, x, dtype=dtype))
         if train and frame_mask is not None:
@@ -94,10 +115,12 @@ def cnn_features(params: Dict, state: Dict, frames: jnp.ndarray, *,
 def apply(
     params: Dict,
     state: Dict,
-    frames: jnp.ndarray,             # (B, T, H, W, 3) float (already prepared)
+    frames: jnp.ndarray,             # (B, T, H, W, 3) uint8 or prepared float
     frames_len: jnp.ndarray,         # (B,) int32
     *,
     train: bool = False,
+    normalization: Optional[Tuple] = None,  # (mean, std) when frames are uint8
+    use_pallas: bool = False,
     dtype=jnp.bfloat16,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Returns (video_emb (B, T, hidden) zero-masked past length, new_state)."""
@@ -105,8 +128,15 @@ def apply(
     flat = frames.reshape((B * T,) + frames.shape[2:])
     mask = (jnp.arange(T)[None, :] < frames_len[:, None]).reshape(-1)  # (B*T,)
     feats, new_state = cnn_features(params, state, flat, train=train,
-                                    frame_mask=mask, dtype=dtype)
+                                    frame_mask=mask,
+                                    normalization=normalization, dtype=dtype)
     feats = feats.reshape(B, T, -1)
+    if use_pallas and not train and jax.default_backend() not in ("cpu",):
+        from mmqg_tpu.ops.lstm_pallas import lstm_stack_pallas
+        outs, _ = lstm_stack_pallas(params["lstm"], feats,
+                                    lengths=frames_len, mask_output=True,
+                                    dtype=dtype)
+        return outs, new_state
     outs, _ = L.lstm_scan(params["lstm"], feats, dtype=dtype)
     mask2 = mask.reshape(B, T)[..., None]
     return jnp.where(mask2, outs, 0.0), new_state

@@ -112,12 +112,15 @@ def make_validate_step(mc: qg_model.ModelConfig, *, use_pallas: bool = True,
                        dtype=jnp.bfloat16):
     """Greedy-fed validation decode (reference train.py:100-110): argmax
     feeding for ``target_steps`` steps, CE against the target at each step.
-    Returns per-sample loss and the predicted tokens."""
+    Returns per-sample loss and the predicted tokens.
+
+    Encode and the decode scan are separate jitted programs (see
+    mmqg_tpu.decode.encode_jit for why)."""
+    from mmqg_tpu.decode import encode_jit
+
     @jax.jit
-    def validate_step(params, model_state, batch):
-        mem, dec_state, _ = qg_model.encode(
-            params, model_state, mc, batch, train=False, dtype=dtype)
-        B, T = batch["target_ids"].shape
+    def greedy_ce_scan(params, mem, dec_state, target_ids, target_len):
+        B, T = target_ids.shape
         emb_table = params["embedding"]["table"]
 
         def body(carry, t):
@@ -126,7 +129,7 @@ def make_validate_step(mc: qg_model.ModelConfig, *, use_pallas: bool = True,
                 params["decoder"], emb_table, tok, mem, state, train=False,
                 use_pallas=use_pallas, dtype=dtype)
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
-            tgt_t = batch["target_ids"][:, t]
+            tgt_t = target_ids[:, t]
             ce_t = -jnp.take_along_axis(logp, tgt_t[:, None], -1)[:, 0]
             nxt = jnp.argmax(logits, -1).astype(jnp.int32)
             return (new_state, nxt), (ce_t, nxt)
@@ -135,9 +138,14 @@ def make_validate_step(mc: qg_model.ModelConfig, *, use_pallas: bool = True,
         _, (ces, toks) = lax.scan(body, init, jnp.arange(T))
         ces = jnp.swapaxes(ces, 0, 1)           # (B, T)
         toks = jnp.swapaxes(toks, 0, 1)         # (B, T)
-        step_mask = jnp.arange(T)[None, :] < batch["target_len"][:, None]
-        per_sample = (ces * step_mask).sum(1) / jnp.maximum(batch["target_len"], 1)
+        step_mask = jnp.arange(T)[None, :] < target_len[:, None]
+        per_sample = (ces * step_mask).sum(1) / jnp.maximum(target_len, 1)
         return per_sample, toks
+
+    def validate_step(params, model_state, batch):
+        mem, dec_state = encode_jit(params, model_state, mc, batch)
+        return greedy_ce_scan(params, mem, dec_state, batch["target_ids"],
+                              batch["target_len"])
 
     return validate_step
 

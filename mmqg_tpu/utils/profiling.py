@@ -1,0 +1,76 @@
+"""Profiling hooks (SURVEY.md §5 tracing: the reference had only tqdm bars,
+train.py:143; TPU equivalent is jax.profiler traces + named annotations).
+
+Also the debug toggles standing in for the reference's (commented-out)
+``torch.autograd.set_detect_anomaly`` (non_attn_train.py:104): jit-level NaN
+checking via ``jax.config.jax_debug_nans``.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from pathlib import Path
+from typing import Iterator, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir: Path) -> Iterator[None]:
+    """Capture a perfetto/tensorboard trace of the enclosed block:
+    ``with profiling.trace('/tmp/trace'): step(...)``"""
+    jax.profiler.start_trace(str(log_dir))
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named region visible in profiler traces (decorator or ctx-manager)."""
+    return jax.profiler.TraceAnnotation(name)
+
+
+@contextlib.contextmanager
+def nan_debugging(enable: bool = True) -> Iterator[None]:
+    """Sanitizer toggle: re-runs any jit producing NaNs in op-by-op mode and
+    raises at the offending primitive."""
+    prev = jax.config.jax_debug_nans
+    jax.config.update("jax_debug_nans", enable)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_debug_nans", prev)
+
+
+class StepTimer:
+    """Wall-clock per-step timing with sync (np.asarray-forced) sampling every
+    ``sync_every`` steps — async dispatch makes naive timing meaningless."""
+
+    def __init__(self, sync_every: int = 10):
+        self.sync_every = sync_every
+        self.samples = []
+        self._count = 0
+        self._t0: Optional[float] = None
+
+    def start(self) -> None:
+        self._t0 = time.perf_counter()
+
+    def stop(self, result=None) -> Optional[float]:
+        import numpy as np
+
+        self._count += 1
+        if self._count % self.sync_every == 0 and result is not None:
+            np.asarray(jax.tree.leaves(result)[0])
+            dt = time.perf_counter() - self._t0
+            self.samples.append(dt / self.sync_every)
+            self._t0 = time.perf_counter()
+            return self.samples[-1]
+        return None
+
+    @property
+    def median(self) -> float:
+        import numpy as np
+
+        return float(np.median(self.samples)) if self.samples else float("nan")
