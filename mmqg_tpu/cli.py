@@ -27,6 +27,8 @@ def train_main(argv: Optional[List[str]] = None) -> None:
     parser.add_argument("-c", "--config_path", type=str, default=None)
     parser.add_argument("--mode", type=str, default="trimodal",
                         choices=["text", "text_video", "trimodal"])
+    parser.add_argument("--decoder", type=str, default="attn",
+                        choices=["attn", "non_attn"])
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--resume", action="store_true",
                         help="resume from the last checkpoint")
@@ -43,7 +45,7 @@ def train_main(argv: Optional[List[str]] = None) -> None:
     val_ds = QGDataset(config, config.val_file, load_media=load_media)
     emb = np.load(config.weights_matrix_file).astype(np.float32)
     mc = qg_model.ModelConfig.from_config(config, n_vocab=len(train_ds.vocab),
-                                          mode=args.mode)
+                                          mode=args.mode, dec=args.decoder)
     trainer = Trainer(config, mc, emb, train_ds, val_ds)
     if args.resume and trainer.resume("last"):
         print(f"resumed at epoch {trainer.start_epoch}")

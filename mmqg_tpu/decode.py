@@ -62,7 +62,8 @@ def encode_jit(params, state, mc: qg_model.ModelConfig, batch,
     return mem, dec_state
 
 
-@partial(jax.jit, static_argnames=("strategy", "max_len", "k", "use_pallas"))
+@partial(jax.jit, static_argnames=("strategy", "max_len", "k", "use_pallas",
+                                   "dec_kind"))
 def decode_from_memories(
     params: Dict,
     mem: D.Memories,
@@ -73,16 +74,23 @@ def decode_from_memories(
     max_len: int = 21,
     k: int = 1,
     use_pallas: bool = True,
+    dec_kind: str = "attn",
 ) -> jnp.ndarray:
     """Jitted token-generation scan over pre-computed memories."""
     B = mem.enc_text.shape[0]
     emb_table = params["embedding"]["table"]
+    av_vec = qg_model.av_vector(mem) if dec_kind == "non_attn" else None
 
     def body(carry, t):
         dec_state, tok, finished = carry
-        logits, new_state, _ = D.step(params["decoder"], emb_table, tok, mem,
-                                      dec_state, train=False,
-                                      use_pallas=use_pallas)
+        if dec_kind == "attn":
+            logits, new_state, _ = D.step(params["decoder"], emb_table, tok,
+                                          mem, dec_state, train=False,
+                                          use_pallas=use_pallas)
+        else:
+            logits, new_state = D.non_attn_step(params["decoder"], emb_table,
+                                                tok, av_vec, dec_state,
+                                                train=False)
         nxt = _select_token(strategy, logits, jax.random.fold_in(rng, t), k)
         nxt = jnp.where(finished, PAD_ID, nxt)
         new_finished = finished | (nxt == END_ID)
@@ -112,11 +120,11 @@ def decode_batch(
     mem, dec_state = encode_jit(params, state, mc, batch, use_pallas)
     return decode_from_memories(params, mem, dec_state, rng,
                                 strategy=strategy, max_len=max_len, k=k,
-                                use_pallas=use_pallas)
+                                use_pallas=use_pallas, dec_kind=mc.decoder)
 
 
 @partial(jax.jit, static_argnames=("max_len", "beam_size", "use_pallas",
-                                   "length_penalty"))
+                                   "length_penalty", "dec_kind"))
 def beam_from_memories(
     params: Dict,
     mem: D.Memories,
@@ -126,6 +134,7 @@ def beam_from_memories(
     beam_size: int = 4,
     length_penalty: float = 0.6,
     use_pallas: bool = True,
+    dec_kind: str = "attn",
 ) -> jnp.ndarray:
     """Length-normalised beam search over pre-computed memories."""
     B = mem.enc_text.shape[0]
@@ -138,6 +147,7 @@ def beam_from_memories(
     mem = D.Memories(*[tile(x) for x in mem])
     h, c = dec_state
     dec_state = (jnp.repeat(h, K, axis=1), jnp.repeat(c, K, axis=1))
+    av_vec = qg_model.av_vector(mem) if dec_kind == "non_attn" else None
 
     # beam scores: only beam 0 live initially so the first expansion picks
     # the true top-K tokens rather than K copies of the argmax.
@@ -149,9 +159,14 @@ def beam_from_memories(
 
     def body(carry, t):
         dec_state, cur, scores, tokens, finished, lengths = carry
-        logits, new_state, _ = D.step(params["decoder"], emb_table, cur, mem,
-                                      dec_state, train=False,
-                                      use_pallas=use_pallas)
+        if dec_kind == "attn":
+            logits, new_state, _ = D.step(params["decoder"], emb_table, cur,
+                                          mem, dec_state, train=False,
+                                          use_pallas=use_pallas)
+        else:
+            logits, new_state = D.non_attn_step(params["decoder"], emb_table,
+                                                cur, av_vec, dec_state,
+                                                train=False)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)  # (B*K, V)
         V = logp.shape[-1]
         logp = logp.reshape(B, K, V)
@@ -203,7 +218,7 @@ def beam_decode_batch(
     return beam_from_memories(params, mem, dec_state, max_len=max_len,
                               beam_size=beam_size,
                               length_penalty=length_penalty,
-                              use_pallas=use_pallas)
+                              use_pallas=use_pallas, dec_kind=mc.decoder)
 
 
 def tokens_to_words(tokens, index_to_word: Dict[str, str]) -> List[List[str]]:

@@ -95,6 +95,8 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
                         choices=["greedy", "sampling", "topk", "beam"])
     parser.add_argument("--mode", type=str, default="trimodal",
                         choices=list(qg_model.MODES))
+    parser.add_argument("--decoder", type=str, default="attn",
+                        choices=["attn", "non_attn"])
     parser.add_argument("--compat-bleu", action="store_true",
                         help="score with the reference's (non-standard) BLEU call")
     args = parser.parse_args(argv)
@@ -105,7 +107,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
     dataset = QGDataset(config, config.test_file,
                         load_media=(args.mode != "text"))
     mc = qg_model.ModelConfig.from_config(config, n_vocab=len(dataset.vocab),
-                                          mode=args.mode)
+                                          mode=args.mode, dec=args.decoder)
     if not ckpt.has_checkpoint(config.checkpoint_dir, alias):
         raise SystemExit(
             f"error: no '{alias}' checkpoint in {config.checkpoint_dir} — "

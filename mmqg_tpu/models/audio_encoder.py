@@ -71,6 +71,38 @@ def embed_examples(params: Dict, mel: jnp.ndarray, *, dtype=jnp.bfloat16) -> jnp
     return L.dense(params["fc3"], x, dtype=dtype)
 
 
+# torchvggish state_dict layout -> our pytree. Conv weights are (O, I, H, W)
+# in torch and (H, W, I, O) here; fc weights are (O, I) -> (I, O).
+_VGGISH_CONV_KEYS = ("features.0", "features.3", "features.6", "features.8",
+                     "features.11", "features.13")
+_VGGISH_FC_KEYS = ("embeddings.0", "embeddings.2", "embeddings.4")
+
+
+def load_vggish_state_dict(params: Dict, state_dict: Dict) -> Dict:
+    """Port released VGGish weights (the torch.hub checkpoint the reference
+    downloaded at model build time, reference model/encoder.py:12) into this
+    encoder's pytree. ``state_dict`` maps torch names to numpy arrays.
+    Returns a new params dict; shapes are validated."""
+    import numpy as np
+
+    new = {"convs": [], "fc1": None, "fc2": None, "fc3": None}
+    for i, key in enumerate(_VGGISH_CONV_KEYS):
+        w = np.asarray(state_dict[f"{key}.weight"])     # (O, I, H, W)
+        b = np.asarray(state_dict[f"{key}.bias"])
+        w = np.transpose(w, (2, 3, 1, 0))               # -> (H, W, I, O)
+        old = params["convs"][i]
+        if w.shape != old["w"].shape:
+            raise ValueError(f"{key}: shape {w.shape} != {old['w'].shape}")
+        new["convs"].append({"w": jnp.asarray(w), "b": jnp.asarray(b)})
+    for name, key in zip(("fc1", "fc2", "fc3"), _VGGISH_FC_KEYS):
+        w = np.asarray(state_dict[f"{key}.weight"]).T   # (O, I) -> (I, O)
+        b = np.asarray(state_dict[f"{key}.bias"])
+        if w.shape != params[name]["w"].shape:
+            raise ValueError(f"{key}: shape {w.shape} != {params[name]['w'].shape}")
+        new[name] = {"w": jnp.asarray(w), "b": jnp.asarray(b)}
+    return new
+
+
 def apply(
     params: Dict,
     mel_examples: jnp.ndarray,        # (B, E, 96, 64)

@@ -47,6 +47,7 @@ class ModelConfig(NamedTuple):
     av_max_length: int = 101
     target_steps: int = 22          # question_max_length + 1 (<end>)
     mode: str = "trimodal"
+    decoder: str = "attn"           # "attn" | "non_attn" (reference C18 / C17)
     frame_size: int = 112
     mel_frames: int = 96
     mel_bins: int = 64
@@ -58,9 +59,11 @@ class ModelConfig(NamedTuple):
     vid_std: Tuple[float, float, float] = (0.22803, 0.22145, 0.216989)
 
     @classmethod
-    def from_config(cls, config, n_vocab: int, mode: str = "trimodal"):
+    def from_config(cls, config, n_vocab: int, mode: str = "trimodal",
+                    dec: str = "attn"):
         return cls(
             n_vocab=n_vocab,
+            decoder=dec,
             word_emb_dim=config.glove_emb_dim,
             hidden_dim=config.text_lstm_hidden_dim,
             text_layers=config.text_lstm_layers,
@@ -87,18 +90,28 @@ class ModelConfig(NamedTuple):
 def init(rng, mc: ModelConfig, emb_weights) -> Tuple[Dict, Dict]:
     """Returns (params, state). ``emb_weights`` is the (V, D) GloVe slice."""
     k_text, k_vid, k_aud, k_dec = jax.random.split(rng, 4)
-    params: Dict = {
-        "embedding": L.embedding_init(emb_weights),
-        "text_enc": text_encoder.init(
-            k_text, emb_dim=mc.word_emb_dim, hidden_dim=mc.hidden_dim,
-            num_layers=mc.text_layers, dropout=mc.dropout),
-        "decoder": decoder.init(
+    if mc.decoder == "attn":
+        dec_params = decoder.init(
             k_dec, n_vocab=mc.n_vocab, word_emb_dim=mc.word_emb_dim,
             hidden_dim=mc.hidden_dim, num_layers=mc.dec_layers,
             dropout=mc.dropout, video_emb_dim=mc.video_hidden_dim,
             audio_emb_dim=mc.audio_emb_dim,
             text_max_length=mc.context_max_length,
-            av_max_length=mc.av_max_length),
+            av_max_length=mc.av_max_length)
+    else:
+        # AV-vector-conditioned decoder (reference model/decoder.py:7-47);
+        # av vec = [pooled audio; pooled video], see av_vector()
+        dec_params = decoder.init_non_attn(
+            k_dec, n_vocab=mc.n_vocab, word_emb_dim=mc.word_emb_dim,
+            av_emb_dim=mc.audio_emb_dim + mc.video_hidden_dim,
+            hidden_dim=mc.hidden_dim, num_layers=mc.dec_layers,
+            dropout=mc.dropout)
+    params: Dict = {
+        "embedding": L.embedding_init(emb_weights),
+        "text_enc": text_encoder.init(
+            k_text, emb_dim=mc.word_emb_dim, hidden_dim=mc.hidden_dim,
+            num_layers=mc.text_layers, dropout=mc.dropout),
+        "decoder": dec_params,
     }
     state: Dict = {}
     if mc.mode in ("text_video", "trimodal"):
@@ -188,6 +201,21 @@ def encode(
     return mem, text_state, new_state
 
 
+def av_vector(mem: decoder.Memories) -> jnp.ndarray:
+    """Single fused AV conditioning vector for the non-attention decoder
+    (reference model/decoder.py:28 repeated one AV vector per step):
+    [masked-mean audio emb (Ha); masked-mean video emb (Hv)]. Absent
+    modalities contribute zeros (their memories are zeroed)."""
+    def masked_mean(m, ln):
+        La = m.shape[1]
+        mask = (jnp.arange(La)[None, :] < ln[:, None])[..., None]
+        return (m * mask).sum(1) / jnp.maximum(ln, 1)[:, None]
+
+    return jnp.concatenate([masked_mean(mem.enc_audio, mem.audio_len),
+                            masked_mean(mem.enc_video, mem.video_len)],
+                           axis=-1)
+
+
 def loss_fn(
     params: Dict,
     state: Dict,
@@ -210,10 +238,16 @@ def loss_fn(
     mem, dec_state, new_state = encode(
         params, state, mc, batch, train=train, dropout_rng=dropout_rng,
         use_pallas=use_pallas, dtype=dtype)
-    logits = decoder.teacher_forced_logits(
-        params["decoder"], params["embedding"]["table"], dec_inputs, mem,
-        dec_state, train=train, dropout=mc.dropout, dropout_rng=dropout_rng,
-        use_pallas=use_pallas, dtype=dtype)             # (B, T, V)
+    if mc.decoder == "attn":
+        logits = decoder.teacher_forced_logits(
+            params["decoder"], params["embedding"]["table"], dec_inputs, mem,
+            dec_state, train=train, dropout=mc.dropout,
+            dropout_rng=dropout_rng, use_pallas=use_pallas, dtype=dtype)
+    else:
+        logits = decoder.non_attn_teacher_forced(
+            params["decoder"], params["embedding"]["table"], dec_inputs,
+            av_vector(mem), dec_state, train=train, dropout=mc.dropout,
+            dropout_rng=dropout_rng, dtype=dtype)       # (B, T, V)
 
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     tok_ll = jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]

@@ -126,3 +126,23 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     sb = batch_sharding(mesh)
     return {k: jax.device_put(v, sb(v)) for k, v in batch.items()
             if hasattr(v, "ndim")}
+
+
+# ------------------------------------------------------- sequence parallelism
+
+def sequence_constraint(mesh: Mesh, axis: str = "model"):
+    """Sequence-parallel annotation for attention memories: shards the
+    sequence (context/AV) axis of a (B, L, H) tensor over ``axis`` in
+    addition to batch-over-data. The reference's lengths (283/101) don't
+    *need* SP (SURVEY.md §5), but the capability must exist for longer
+    corpora — XLA inserts the all-gathers where the decoder's attention
+    consumes the full memory.
+
+    Usage inside a jitted function:
+        mem = mem._replace(enc_text=sequence_constraint(mesh)(mem.enc_text))
+    """
+    def constrain(x):
+        spec = P("data", axis, *([None] * (x.ndim - 2)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    return constrain

@@ -122,12 +122,19 @@ def make_validate_step(mc: qg_model.ModelConfig, *, use_pallas: bool = True,
     def greedy_ce_scan(params, mem, dec_state, target_ids, target_len):
         B, T = target_ids.shape
         emb_table = params["embedding"]["table"]
+        av_vec = (qg_model.av_vector(mem) if mc.decoder == "non_attn"
+                  else None)
 
         def body(carry, t):
             state, tok = carry
-            logits, new_state, _ = D.step(
-                params["decoder"], emb_table, tok, mem, state, train=False,
-                use_pallas=use_pallas, dtype=dtype)
+            if mc.decoder == "attn":
+                logits, new_state, _ = D.step(
+                    params["decoder"], emb_table, tok, mem, state,
+                    train=False, use_pallas=use_pallas, dtype=dtype)
+            else:
+                logits, new_state = D.non_attn_step(
+                    params["decoder"], emb_table, tok, av_vec, state,
+                    train=False, dtype=dtype)
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
             tgt_t = target_ids[:, t]
             ce_t = -jnp.take_along_axis(logp, tgt_t[:, None], -1)[:, 0]

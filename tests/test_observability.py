@@ -1,0 +1,41 @@
+import json
+
+import numpy as np
+
+from mmqg_tpu.utils import audit, plotting
+
+
+def test_plot_results_and_best_epoch(tmp_path):
+    stats = {"train": {"loss": [3.0, 2.0, 2.5]},
+             "val": {"loss": [3.1, 2.2, 2.6], "bleu": [0.1, 0.3, 0.2]}}
+    p = tmp_path / "stats.json"
+    p.write_text(json.dumps(stats))
+    report = plotting.plot_results(p)
+    assert report["best_train_epoch"] == 1
+    assert report["best_val_epoch"] == 1
+    assert report["best_val_bleu"] == 0.3
+    assert (tmp_path / "train_loss.png").exists()
+    assert (tmp_path / "val_bleu.png").exists()
+
+
+def test_grad_norms_by_layer():
+    grads = {"a": {"w": np.ones((2, 2)), "b": np.full((2,), 2.0)},
+             "list": [np.zeros((3,))]}
+    pairs = dict(plotting.grad_norms_by_layer(grads))
+    assert pairs["a/w"] == 1.0
+    assert pairs["a/b"] == 2.0
+    assert pairs["list/0"] == 0.0
+
+
+def test_plot_grad_flow(tmp_path):
+    grads = {"x": {"w": np.ones((4, 4)) * 0.5, "b": np.ones((4,))}}
+    out = plotting.plot_grad_flow(grads, tmp_path / "gf.png")
+    assert out.exists()
+
+
+def test_audit_corpus(tiny_config, tiny_corpus):
+    report = audit.audit_corpus(tiny_config)
+    # context <= configured max (fixtures guarantee it)
+    assert report["context"][0] <= tiny_config.context_max_length
+    assert report["question"][0] >= 1
+    assert report["frames"][0] <= tiny_config.av_max_length

@@ -86,3 +86,34 @@ def test_tp_sharding_rules_shard_big_matrices(setup):
     # biases replicated
     spec_b = sh["decoder"]["out"]["b"].spec
     assert "model" not in str(spec_b)
+
+
+def test_sequence_parallel_constraint(setup):
+    """Context-axis (sequence-parallel) sharding of attention memories
+    compiles and preserves numerics on a (2, 4) mesh."""
+    from mmqg_tpu.parallel.mesh import sequence_constraint
+    from mmqg_tpu.models import qg_model
+    from mmqg_tpu import decode as DEC
+
+    config, mc, optimizer, fresh_ts, batch = setup
+    mesh = make_mesh((2, 4))
+    ts = fresh_ts()
+    constrain = sequence_constraint(mesh)
+
+    @jax.jit
+    def encode_sp(params, state, b):
+        mem, dec_state, _ = qg_model.encode(params, state, mc, b,
+                                            train=False, use_pallas=False)
+        mem = mem._replace(enc_text=constrain(mem.enc_text))
+        return DEC.decode_from_memories(params, mem, dec_state,
+                                        jax.random.PRNGKey(0),
+                                        strategy="greedy", max_len=4,
+                                        use_pallas=False)
+
+    sbatch = shard_batch(batch, mesh)
+    toks_sp = np.asarray(encode_sp(ts["params"], ts["model_state"], sbatch))
+
+    toks_ref = np.asarray(DEC.decode_batch(
+        ts["params"], ts["model_state"], mc, batch, jax.random.PRNGKey(0),
+        strategy="greedy", max_len=4, use_pallas=False))
+    np.testing.assert_array_equal(toks_sp, toks_ref)
