@@ -235,6 +235,11 @@ def loss_fn(
     start = jnp.full((B, 1), START_ID, target.dtype)
     dec_inputs = jnp.concatenate([start, target[:, :-1]], axis=1)
 
+    # The Pallas kernels are forward-only (no custom VJP yet); this function
+    # is what jax.grad differentiates, so it always takes the XLA path —
+    # inference (encode_jit / decode) gets the kernels.
+    use_pallas = False
+
     mem, dec_state, new_state = encode(
         params, state, mc, batch, train=train, dropout_rng=dropout_rng,
         use_pallas=use_pallas, dtype=dtype)

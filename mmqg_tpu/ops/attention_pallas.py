@@ -143,12 +143,18 @@ def trimodal_attention_pallas(params, query, enc_text, enc_video, enc_audio,
         jnp.pad(params.b_video, (0, La_p - La)),
         jnp.pad(params.b_audio, (0, La_p - La))])[None, :]
 
+    # memories/query/weights enter the kernel in compute dtype: with f32
+    # blocks + Pallas double-buffering the VMEM working set overflows at
+    # Bt=8 (observed: 19 MB > 16 MB); bf16 halves it. Softmax and the
+    # context accumulation still run in f32 inside the kernel.
     def pad_mem(m, Lp):
-        return jnp.pad(m, ((0, 0), (0, Lp - m.shape[1]), (0, 0)))
+        return jnp.pad(m, ((0, 0), (0, Lp - m.shape[1]), (0, 0))).astype(dtype)
 
     et = pad_mem(enc_text, Lt_p)
     ev = pad_mem(enc_video, La_p)
     ea = pad_mem(enc_audio, La_p)
+    w_pad = w_pad.astype(dtype)
+    query = query.astype(dtype)
     lens = jnp.stack([text_len, video_len, audio_len,
                       jnp.zeros_like(text_len)], axis=1).astype(jnp.int32)
 

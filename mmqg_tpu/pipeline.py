@@ -1,0 +1,139 @@
+"""QGPipeline — the serving API: raw media + transcript in, questions out.
+
+The reference had no inference API beyond the dataset-bound evaluate script;
+this is the end-to-end batched entry point BASELINE.json's serving config
+describes ("on-device preprocessing + tri-modal encoder + jitted decode").
+
+    pipe = QGPipeline.from_checkpoint(config, alias="best")
+    questions = pipe.generate(
+        contexts=["the lecturer explains gradient descent ..."],
+        frames=[frames_u8],          # (T, H, W, 3) uint8 per example (or None)
+        audio=[pcm_i16],             # int16 mono 16 kHz per example (or None)
+        strategy="beam")
+
+Inputs are padded/packed host-side into one fixed-shape batch; everything
+after that is the jitted two-program decode (mmqg_tpu.decode).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from mmqg_tpu import checkpoint as ckpt
+from mmqg_tpu import decode as DEC
+from mmqg_tpu.data.vocab import END_ID, PAD_ID, encode_tokens, pad_to
+from mmqg_tpu.models import qg_model
+
+
+class QGPipeline:
+    def __init__(self, config, mc: qg_model.ModelConfig, params, model_state,
+                 vocab: Dict[str, int], index_to_word: Dict[str, str]):
+        self.config = config
+        self.mc = mc
+        self.params = jax.device_put(params)
+        self.model_state = jax.device_put(model_state)
+        self.vocab = vocab
+        self.index_to_word = index_to_word
+
+    # ------------------------------------------------------------ loading
+    @classmethod
+    def from_checkpoint(cls, config, alias: str = "best",
+                        mode: str = "trimodal",
+                        decoder: str = "attn") -> "QGPipeline":
+        from mmqg_tpu.train import init_train_state, make_optimizer
+
+        with open(config.vocab_file) as f:
+            vocab = json.load(f)
+        with open(config.index_to_word_file) as f:
+            index_to_word = json.load(f)
+        mc = qg_model.ModelConfig.from_config(config, n_vocab=len(vocab),
+                                              mode=mode, dec=decoder)
+        emb = np.load(config.weights_matrix_file).astype(np.float32)
+        template = init_train_state(jax.random.PRNGKey(0), mc, emb,
+                                    make_optimizer(config))
+        state, _ = ckpt.load_checkpoint(config.checkpoint_dir, alias, template)
+        return cls(config, mc, state["params"], state["model_state"],
+                   vocab, index_to_word)
+
+    # ----------------------------------------------------------- batching
+    def _pack(self, contexts: Sequence[str],
+              frames: Optional[Sequence[Optional[np.ndarray]]],
+              audio: Optional[Sequence[Optional[np.ndarray]]]) -> Dict:
+        mc, config = self.mc, self.config
+        n = len(contexts)
+        Lc, Tav = mc.context_max_length, mc.av_max_length
+        H = W = mc.frame_size
+        S = Tav * mc.sample_rate
+        batch = {
+            "context_ids": np.zeros((n, Lc), np.int32),
+            "context_len": np.zeros((n,), np.int32),
+            "frames": np.zeros((n, Tav, H, W, 3), np.uint8),
+            "frames_len": np.ones((n,), np.int32),
+            "audio_pcm": np.zeros((n, S), np.int16),
+            "audio_len": np.zeros((n,), np.int32),
+            "target_ids": np.zeros((n, mc.target_steps), np.int32),
+            "target_len": np.ones((n,), np.int32),
+            "valid": np.ones((n,), bool),
+        }
+        for i, text in enumerate(contexts):
+            ids = np.asarray([self.vocab[w] for w in text.split()
+                              if w in self.vocab], np.int32)
+            batch["context_ids"][i] = pad_to(ids, Lc)
+            batch["context_len"][i] = max(1, min(len(ids), Lc))
+            if frames is not None and frames[i] is not None:
+                fr = frames[i]
+                t = min(fr.shape[0], Tav)
+                batch["frames"][i, :t] = fr[:t]
+                batch["frames_len"][i] = max(1, t)
+            if audio is not None and audio[i] is not None:
+                pcm = np.asarray(audio[i])
+                if pcm.dtype != np.int16:
+                    pcm = np.clip(pcm * 32767.0, -32768, 32767).astype(np.int16)
+                s = min(len(pcm), S)
+                batch["audio_pcm"][i, :s] = pcm[:s]
+                batch["audio_len"][i] = s
+        return batch
+
+    def _to_words(self, tokens: np.ndarray) -> List[str]:
+        out = []
+        for row in np.asarray(tokens):
+            words = []
+            for t in row:
+                if t in (PAD_ID, END_ID):
+                    break
+                words.append(self.index_to_word[str(int(t))])
+            out.append(" ".join(words))
+        return out
+
+    # ----------------------------------------------------------- serving
+    def generate(
+        self,
+        contexts: Sequence[str],
+        frames: Optional[Sequence[Optional[np.ndarray]]] = None,
+        audio: Optional[Sequence[Optional[np.ndarray]]] = None,
+        *,
+        strategy: str = "greedy",
+        beam_size: Optional[int] = None,
+        topk: int = 1,
+        seed: int = 0,
+    ) -> List[str]:
+        """Generate one question per input example."""
+        batch = self._pack(contexts, frames, audio)
+        use_pallas = self.config.use_pallas
+        max_len = self.config.question_max_length
+        if strategy == "beam":
+            toks = DEC.beam_decode_batch(
+                self.params, self.model_state, self.mc, batch,
+                max_len=max_len, beam_size=beam_size or self.config.beam_size,
+                use_pallas=use_pallas)
+        else:
+            toks = DEC.decode_batch(
+                self.params, self.model_state, self.mc, batch,
+                jax.random.PRNGKey(seed), strategy=strategy, max_len=max_len,
+                k=topk, use_pallas=use_pallas)
+        return self._to_words(toks)

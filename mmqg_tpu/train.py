@@ -240,7 +240,23 @@ class Trainer:
         return out
 
     def fit(self, epochs: Optional[int] = None) -> Tuple[Dict, int]:
+        """Train with crash resilience: any interrupt/exception mid-training
+        checkpoints "last" before propagating, so ``resume('last')`` restarts
+        from the latest completed epoch (the reference lost everything on
+        interrupt — its only resilience was try/except around saves,
+        reference train.py:34-47)."""
         epochs = epochs or self.config.epochs
+        try:
+            return self._fit_inner(epochs)
+        except BaseException:
+            if self.start_epoch > 0 or self.epoch_stats["train"]["loss"]:
+                last_done = self.start_epoch + len(
+                    self.epoch_stats["train"]["loss"]) - 1
+                self.save("last", max(last_done, 0))
+                self.write_stats()
+            raise
+
+    def _fit_inner(self, epochs: int) -> Tuple[Dict, int]:
         for epoch in range(self.start_epoch, epochs):
             t0 = time.time()
             train_loss = self.run_epoch(epoch)

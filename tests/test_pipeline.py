@@ -1,0 +1,49 @@
+import numpy as np
+import pytest
+
+from mmqg_tpu.data.dataset import QGDataset
+from mmqg_tpu.models import qg_model
+from mmqg_tpu.pipeline import QGPipeline
+from mmqg_tpu.train import Trainer
+
+
+@pytest.fixture(scope="module")
+def trained(tiny_config, tiny_corpus, tmp_path_factory):
+    cfg = tiny_config.replace(
+        output_path=tmp_path_factory.mktemp("pipe") / "results", lr=5e-3)
+    cfg.ensure_dirs()
+    train_ds = QGDataset(cfg, cfg.train_file)
+    val_ds = QGDataset(cfg, cfg.val_file)
+    emb = np.load(cfg.weights_matrix_file).astype(np.float32)
+    mc = qg_model.ModelConfig.from_config(cfg, n_vocab=len(train_ds.vocab),
+                                          mode="trimodal")
+    tr = Trainer(cfg, mc, emb, train_ds, val_ds, log_fn=lambda *a: None)
+    tr.fit(epochs=1)
+    return cfg
+
+
+def test_pipeline_generate_all_strategies(trained):
+    pipe = QGPipeline.from_checkpoint(trained, alias="best")
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 256, (2, trained.frame_size, trained.frame_size, 3),
+                         np.uint8)
+    pcm = (rng.randn(trained.audio_sample_rate) * 3000).astype(np.int16)
+    contexts = ["what is the process of the system",
+                "the value of the function is the result"]
+    for strategy in ("greedy", "sampling", "beam"):
+        out = pipe.generate(contexts, frames=[frames, None],
+                            audio=[pcm, None], strategy=strategy)
+        assert len(out) == 2
+        assert all(isinstance(s, str) for s in out)
+
+
+def test_pipeline_text_only(trained):
+    pipe = QGPipeline.from_checkpoint(trained, alias="last", mode="trimodal")
+    out = pipe.generate(["the system is a model of the process"])
+    assert len(out) == 1
+
+
+def test_unknown_words_are_skipped(trained):
+    pipe = QGPipeline.from_checkpoint(trained)
+    out = pipe.generate(["zzzunknown the process zzzalso"])
+    assert len(out) == 1  # no KeyError on OOV input words
