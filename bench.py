@@ -73,12 +73,15 @@ def main() -> None:
     h2d_mb_s = n_bytes / 1e6 / h2d_s
 
     # --- on-device pipeline: staged raw inputs -> tokens on host ---
+    # the audio bucket comes from host metadata (free for a loader); computing
+    # it from the staged device array would cost a host sync per call
+    cap = DEC.audio_bucket(mc, batch_arrays["audio_len"])
     dev_batch = {k: jax.device_put(v) for k, v in batch_arrays.items()}
 
     def run():
         return DEC.decode_batch(params, state, mc, dev_batch, rng,
                                 strategy="greedy", max_len=21,
-                                use_pallas=use_pallas)
+                                use_pallas=use_pallas, audio_cap=cap)
 
     for _ in range(warmup):
         np.asarray(run())

@@ -47,9 +47,25 @@ def _select_token(strategy: str, logits: jnp.ndarray, rng, k: int) -> jnp.ndarra
     raise ValueError(f"unknown strategy: {strategy}")
 
 
-@partial(jax.jit, static_argnames=("mc", "use_pallas"))
+def audio_bucket(mc: qg_model.ModelConfig, audio_len) -> int:
+    """Host-side bucket for the batch's max audio example count: the VGGish
+    encoder only runs on that many example slots (see qg_model.encode
+    audio_cap). Buckets bound jit-cache growth to <=4 variants."""
+    import numpy as np
+    av = mc.av_max_length
+    need = int(np.max(
+        np.maximum(0, (np.asarray(audio_len) - mc.stft_window) // mc.stft_hop
+                   + 1) // mc.mel_frames))
+    need = max(1, min(need, av))
+    for b in sorted({max(1, av // 4), max(1, av // 2), max(1, (3 * av) // 4), av}):
+        if need <= b:
+            return b
+    return av
+
+
+@partial(jax.jit, static_argnames=("mc", "use_pallas", "audio_cap"))
 def encode_jit(params, state, mc: qg_model.ModelConfig, batch,
-               use_pallas: bool = True):
+               use_pallas: bool = True, audio_cap=None):
     """Jitted tri-modal encode producing decoder memories + init state.
 
     Kept as a SEPARATE program from the decode scan on purpose: one combined
@@ -58,7 +74,8 @@ def encode_jit(params, state, mc: qg_model.ModelConfig, batch,
     ~3.4 s vs ~0.2 s per 32-batch). Two dispatches cost one extra host
     round-trip and win everything else."""
     mem, dec_state, _ = qg_model.encode(params, state, mc, batch, train=False,
-                                        use_pallas=use_pallas)
+                                        use_pallas=use_pallas,
+                                        audio_cap=audio_cap)
     return mem, dec_state
 
 
@@ -113,11 +130,20 @@ def decode_batch(
     max_len: int = 21,
     k: int = 1,
     use_pallas: bool = True,
+    audio_cap: Optional[int] = None,
 ) -> jnp.ndarray:
     """Returns token ids (B, max_len); PAD after <end>. <end> itself is kept
     so hosts can see the stop (and strip it, reference evaluate.py:101-103).
-    Composition of two jitted programs (see encode_jit docstring)."""
-    mem, dec_state = encode_jit(params, state, mc, batch, use_pallas)
+    Composition of two jitted programs (see encode_jit docstring).
+
+    ``audio_cap``: audio-example bucket; pass it when the batch lives on
+    device already (computing it from a device array costs a host sync) —
+    loaders know it for free from host metadata."""
+    if audio_cap is not None:
+        cap = audio_cap
+    else:
+        cap = audio_bucket(mc, batch["audio_len"]) if mc.mode == "trimodal" else None
+    mem, dec_state = encode_jit(params, state, mc, batch, use_pallas, cap)
     return decode_from_memories(params, mem, dec_state, rng,
                                 strategy=strategy, max_len=max_len, k=k,
                                 use_pallas=use_pallas, dec_kind=mc.decoder)
@@ -211,10 +237,15 @@ def beam_decode_batch(
     beam_size: int = 4,
     length_penalty: float = 0.6,
     use_pallas: bool = True,
+    audio_cap: Optional[int] = None,
 ) -> jnp.ndarray:
     """Length-normalised beam search. Returns best-beam tokens (B, max_len).
     Two-program composition (see encode_jit docstring)."""
-    mem, dec_state = encode_jit(params, state, mc, batch, use_pallas)
+    if audio_cap is not None:
+        cap = audio_cap
+    else:
+        cap = audio_bucket(mc, batch["audio_len"]) if mc.mode == "trimodal" else None
+    mem, dec_state = encode_jit(params, state, mc, batch, use_pallas, cap)
     return beam_from_memories(params, mem, dec_state, max_len=max_len,
                               beam_size=beam_size,
                               length_penalty=length_penalty,

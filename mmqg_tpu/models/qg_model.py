@@ -135,10 +135,19 @@ def encode(
     train: bool = False,
     dropout_rng: Optional[jax.Array] = None,
     use_pallas: bool = True,
+    audio_cap: Optional[int] = None,
     dtype=jnp.bfloat16,
 ) -> Tuple[decoder.Memories, Tuple[jnp.ndarray, jnp.ndarray], Dict]:
     """Full tri-modal encode. ``batch`` keys: context_ids, context_len,
     frames (uint8), frames_len, audio_pcm, audio_len.
+
+    ``audio_cap`` (static) bounds the audio example count the VGGish encoder
+    runs on: the batch's true max example count is known host-side, so
+    serving buckets it (mmqg_tpu.decode picks the bucket) and skips encoder
+    work on guaranteed-padding slots — the memory is zero-padded back to
+    ``av_max_length`` so attention shapes never change. The reference
+    likewise only processed each clip's actual length (per-sample, on CPU).
+
     Returns (memories, decoder init state, new mutable state)."""
     B = batch["context_ids"].shape[0]
     emb_table = params["embedding"]["table"]
@@ -173,11 +182,12 @@ def encode(
         video_len = jnp.ones((B,), jnp.int32)
 
     if mc.mode == "trimodal":
+        cap = min(audio_cap or mc.av_max_length, mc.av_max_length)
         mel = frontends.log_mel_examples(
             batch["audio_pcm"], sample_rate=mc.sample_rate,
             window=mc.stft_window, hop=mc.stft_hop,
             mel_bins=mc.mel_bins, frames_per_example=mc.mel_frames,
-            max_examples=mc.av_max_length, dtype=dtype)
+            max_examples=cap, dtype=dtype)
         # reference masked the audio head by the *frame* count
         # (model/decoder.py:93 used enc_frames); we mask by the true audio
         # example count, falling back to >=1 to keep softmax defined.
@@ -186,9 +196,12 @@ def encode(
                 batch["audio_len"], sample_rate=mc.sample_rate,
                 hop=mc.stft_hop, window=mc.stft_window,
                 frames_per_example=mc.mel_frames,
-                max_examples=mc.av_max_length), 1)
+                max_examples=cap), 1)
         enc_audio = audio_encoder.apply(params["audio_enc"], mel, audio_len,
                                         dtype=dtype)
+        if cap < mc.av_max_length:
+            enc_audio = jnp.pad(
+                enc_audio, ((0, 0), (0, mc.av_max_length - cap), (0, 0)))
     else:
         enc_audio = jnp.zeros((B, mc.av_max_length, mc.audio_emb_dim))
         audio_len = jnp.ones((B,), jnp.int32)
