@@ -47,6 +47,13 @@ def _select_token(strategy: str, logits: jnp.ndarray, rng, k: int) -> jnp.ndarra
     raise ValueError(f"unknown strategy: {strategy}")
 
 
+def _bucket(need: int, av: int) -> int:
+    for b in sorted({max(1, av // 4), max(1, av // 2), max(1, (3 * av) // 4), av}):
+        if need <= b:
+            return b
+    return av
+
+
 def audio_bucket(mc: qg_model.ModelConfig, audio_len) -> int:
     """Host-side bucket for the batch's max audio example count: the VGGish
     encoder only runs on that many example slots (see qg_model.encode
@@ -56,16 +63,21 @@ def audio_bucket(mc: qg_model.ModelConfig, audio_len) -> int:
     need = int(np.max(
         np.maximum(0, (np.asarray(audio_len) - mc.stft_window) // mc.stft_hop
                    + 1) // mc.mel_frames))
-    need = max(1, min(need, av))
-    for b in sorted({max(1, av // 4), max(1, av // 2), max(1, (3 * av) // 4), av}):
-        if need <= b:
-            return b
-    return av
+    return _bucket(max(1, min(need, av)), av)
 
 
-@partial(jax.jit, static_argnames=("mc", "use_pallas", "audio_cap"))
+def frames_bucket(mc: qg_model.ModelConfig, frames_len) -> int:
+    """Host-side bucket for the batch's max salient-frame count (see
+    qg_model.encode frames_cap)."""
+    import numpy as np
+    need = int(np.max(np.asarray(frames_len)))
+    return _bucket(max(1, min(need, mc.av_max_length)), mc.av_max_length)
+
+
+@partial(jax.jit, static_argnames=("mc", "use_pallas", "audio_cap",
+                                   "frames_cap"))
 def encode_jit(params, state, mc: qg_model.ModelConfig, batch,
-               use_pallas: bool = True, audio_cap=None):
+               use_pallas: bool = True, audio_cap=None, frames_cap=None):
     """Jitted tri-modal encode producing decoder memories + init state.
 
     Kept as a SEPARATE program from the decode scan on purpose: one combined
@@ -75,7 +87,8 @@ def encode_jit(params, state, mc: qg_model.ModelConfig, batch,
     round-trip and win everything else."""
     mem, dec_state, _ = qg_model.encode(params, state, mc, batch, train=False,
                                         use_pallas=use_pallas,
-                                        audio_cap=audio_cap)
+                                        audio_cap=audio_cap,
+                                        frames_cap=frames_cap)
     return mem, dec_state
 
 
@@ -131,19 +144,21 @@ def decode_batch(
     k: int = 1,
     use_pallas: bool = True,
     audio_cap: Optional[int] = None,
+    frames_cap: Optional[int] = None,
 ) -> jnp.ndarray:
     """Returns token ids (B, max_len); PAD after <end>. <end> itself is kept
     so hosts can see the stop (and strip it, reference evaluate.py:101-103).
     Composition of two jitted programs (see encode_jit docstring).
 
-    ``audio_cap``: audio-example bucket; pass it when the batch lives on
-    device already (computing it from a device array costs a host sync) —
-    loaders know it for free from host metadata."""
-    if audio_cap is not None:
-        cap = audio_cap
-    else:
-        cap = audio_bucket(mc, batch["audio_len"]) if mc.mode == "trimodal" else None
-    mem, dec_state = encode_jit(params, state, mc, batch, use_pallas, cap)
+    ``audio_cap``/``frames_cap``: AV-length buckets; pass them when the batch
+    lives on device already (computing from device arrays costs a host sync)
+    — loaders know them for free from host metadata."""
+    has_av = mc.mode in ("text_video", "trimodal")
+    cap = (audio_cap if audio_cap is not None else
+           (audio_bucket(mc, batch["audio_len"]) if mc.mode == "trimodal" else None))
+    fcap = (frames_cap if frames_cap is not None else
+            (frames_bucket(mc, batch["frames_len"]) if has_av else None))
+    mem, dec_state = encode_jit(params, state, mc, batch, use_pallas, cap, fcap)
     return decode_from_memories(params, mem, dec_state, rng,
                                 strategy=strategy, max_len=max_len, k=k,
                                 use_pallas=use_pallas, dec_kind=mc.decoder)
@@ -238,14 +253,16 @@ def beam_decode_batch(
     length_penalty: float = 0.6,
     use_pallas: bool = True,
     audio_cap: Optional[int] = None,
+    frames_cap: Optional[int] = None,
 ) -> jnp.ndarray:
     """Length-normalised beam search. Returns best-beam tokens (B, max_len).
     Two-program composition (see encode_jit docstring)."""
-    if audio_cap is not None:
-        cap = audio_cap
-    else:
-        cap = audio_bucket(mc, batch["audio_len"]) if mc.mode == "trimodal" else None
-    mem, dec_state = encode_jit(params, state, mc, batch, use_pallas, cap)
+    has_av = mc.mode in ("text_video", "trimodal")
+    cap = (audio_cap if audio_cap is not None else
+           (audio_bucket(mc, batch["audio_len"]) if mc.mode == "trimodal" else None))
+    fcap = (frames_cap if frames_cap is not None else
+            (frames_bucket(mc, batch["frames_len"]) if has_av else None))
+    mem, dec_state = encode_jit(params, state, mc, batch, use_pallas, cap, fcap)
     return beam_from_memories(params, mem, dec_state, max_len=max_len,
                               beam_size=beam_size,
                               length_penalty=length_penalty,

@@ -136,17 +136,19 @@ def encode(
     dropout_rng: Optional[jax.Array] = None,
     use_pallas: bool = True,
     audio_cap: Optional[int] = None,
+    frames_cap: Optional[int] = None,
     dtype=jnp.bfloat16,
 ) -> Tuple[decoder.Memories, Tuple[jnp.ndarray, jnp.ndarray], Dict]:
     """Full tri-modal encode. ``batch`` keys: context_ids, context_len,
     frames (uint8), frames_len, audio_pcm, audio_len.
 
-    ``audio_cap`` (static) bounds the audio example count the VGGish encoder
-    runs on: the batch's true max example count is known host-side, so
-    serving buckets it (mmqg_tpu.decode picks the bucket) and skips encoder
-    work on guaranteed-padding slots — the memory is zero-padded back to
-    ``av_max_length`` so attention shapes never change. The reference
-    likewise only processed each clip's actual length (per-sample, on CPU).
+    ``audio_cap`` / ``frames_cap`` (static) bound the AV step counts the
+    audio/video encoders run on: the batch's true max lengths are known
+    host-side, so serving buckets them (mmqg_tpu.decode picks the buckets)
+    and skips encoder work on guaranteed-padding slots — memories are
+    zero-padded back to ``av_max_length`` so attention shapes never change.
+    The reference likewise only processed each clip's actual length
+    (per-sample, on CPU).
 
     Returns (memories, decoder init state, new mutable state)."""
     B = batch["context_ids"].shape[0]
@@ -159,13 +161,18 @@ def encode(
     new_state = dict(state)
     if mc.mode in ("text_video", "trimodal"):
         frames = batch["frames"]
+        frames_len = batch["frames_len"]
+        fcap = min(frames_cap or mc.av_max_length, mc.av_max_length)
+        if fcap < frames.shape[1]:
+            frames = frames[:, :fcap]
+            frames_len = jnp.minimum(frames_len, fcap)
         norm = (mc.vid_mean, mc.vid_std) if mc.normalize_video else ((0., 0., 0.), (1., 1., 1.))
         if frames.dtype == jnp.uint8 and frames.shape[2] == frames.shape[3] == mc.frame_size:
             # fast path: raw uint8 straight into conv1 with the /255 + mean/std
             # transform folded into its weights (zero preprocessing cost)
             enc_video, vstate = video_encoder.apply(
                 params["video_enc"], state["video_enc"], frames,
-                batch["frames_len"], train=train, normalization=norm,
+                frames_len, train=train, normalization=norm,
                 use_pallas=use_pallas, dtype=dtype)
         else:
             prepared = frontends.prepare_frames(
@@ -173,10 +180,13 @@ def encode(
                 normalize=mc.normalize_video)
             enc_video, vstate = video_encoder.apply(
                 params["video_enc"], state["video_enc"], prepared,
-                batch["frames_len"], train=train, use_pallas=use_pallas,
+                frames_len, train=train, use_pallas=use_pallas,
                 dtype=dtype)
+        if fcap < mc.av_max_length:
+            enc_video = jnp.pad(
+                enc_video, ((0, 0), (0, mc.av_max_length - fcap), (0, 0)))
         new_state["video_enc"] = vstate
-        video_len = batch["frames_len"]
+        video_len = frames_len  # capped: attention must not see beyond fcap
     else:
         enc_video = jnp.zeros((B, mc.av_max_length, mc.video_hidden_dim))
         video_len = jnp.ones((B,), jnp.int32)
