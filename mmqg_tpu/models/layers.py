@@ -202,18 +202,23 @@ def conv_init(rng, in_ch: int, out_ch: int, kernel: int) -> Params:
 
 
 def conv2d(params: Params, x: jnp.ndarray, *, stride: int = 1,
-           padding: str = "VALID", dtype=jnp.bfloat16) -> jnp.ndarray:
+           padding: str = "VALID", dtype=jnp.bfloat16,
+           out_dtype=jnp.float32) -> jnp.ndarray:
     """NHWC conv (TPU-native layout; the reference used NCHW torch convs).
 
-    Runs natively in ``dtype`` and upcasts the result: mixing bf16 operands
-    with ``preferred_element_type=f32`` breaks the conv transpose (grad) rule
-    in jax, and TPU conv hardware accumulates in f32 internally regardless."""
+    Runs natively in ``dtype`` (mixing bf16 operands with
+    ``preferred_element_type=f32`` breaks the conv transpose (grad) rule in
+    jax, and TPU conv hardware accumulates in f32 internally regardless).
+    ``out_dtype`` controls the materialised activation dtype: conv->pool
+    boundaries cannot fuse, so wide activation stacks (the VGGish audio
+    encoder: ~10 GB of f32 intermediates per large batch) should keep bf16
+    activations to halve HBM traffic."""
     y = lax.conv_general_dilated(
         x.astype(dtype), params["w"].astype(dtype),
         window_strides=(stride, stride), padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    return y.astype(jnp.float32) + params["b"]
+    return y.astype(out_dtype) + params["b"].astype(out_dtype)
 
 
 def maxpool2d(x: jnp.ndarray, window: int, stride: Optional[int] = None) -> jnp.ndarray:
