@@ -117,6 +117,14 @@ class PackHandle:
         self._handle = None
         return errors
 
+    def __del__(self):
+        # a dropped handle must still join its C++ threads: otherwise they
+        # keep writing into buffers the interpreter is freeing at shutdown
+        try:
+            self.wait()
+        except Exception:
+            pass
+
 
 def pack_batch_async(
     frame_paths: Sequence[Optional[str]],

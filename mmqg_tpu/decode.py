@@ -19,7 +19,7 @@ Strategies (reference evaluate.py:74-99):
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

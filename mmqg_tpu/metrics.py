@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import math
 from collections import Counter
-from typing import Iterable, List, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 BLEU_WEIGHTS = {
     "bleu_1": (1.0, 0.0, 0.0, 0.0),

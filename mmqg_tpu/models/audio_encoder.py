@@ -21,7 +21,7 @@ buggy, see SURVEY.md §2 C18 notes).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ docstrings). Numerics: scores accumulate in f32; softmax in f32.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, NamedTuple, Tuple
 
 import jax

@@ -18,7 +18,6 @@ after that is the jitted two-program decode (mmqg_tpu.decode).
 from __future__ import annotations
 
 import json
-from pathlib import Path
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -26,7 +25,7 @@ import numpy as np
 
 from mmqg_tpu import checkpoint as ckpt
 from mmqg_tpu import decode as DEC
-from mmqg_tpu.data.vocab import END_ID, PAD_ID, encode_tokens, pad_to
+from mmqg_tpu.data.vocab import END_ID, PAD_ID, pad_to
 from mmqg_tpu.models import qg_model
 
 
