@@ -157,8 +157,10 @@ def make_validate_step(mc: qg_model.ModelConfig, *, use_pallas: bool = True,
 
 
 def evaluate_bleu(tokens: np.ndarray, questions, index_to_word,
-                  valid: np.ndarray, compat: bool = False) -> Dict[str, float]:
-    """Host-side BLEU suite over a batch of decoded tokens."""
+                  valid: np.ndarray,
+                  compat: bool = False) -> Tuple[Dict[str, float], int]:
+    """Host-side BLEU suite over a batch of decoded tokens.
+    Returns (per-metric averages, number of scored samples)."""
     sums = {k: 0.0 for k in M.BLEU_WEIGHTS}
     n = 0
     for row, q, ok in zip(np.asarray(tokens), questions, valid):
