@@ -127,6 +127,21 @@ def extract_audio(config, video_id: str) -> Path:
     return out
 
 
+def extract_all_audio(config) -> int:
+    """videos.json-driven audio extraction (reference dataset/get_audio.py
+    main loop :15-38): mp4 -> wav for every listed video. Stops at the first
+    empty-url record like the reference (:31-32). Requires ffmpeg."""
+    with open(config.videos_file) as f:
+        videos = json.load(f)
+    n = 0
+    for video in videos:
+        if len(video.get("video_url", "")) == 0:
+            break
+        extract_audio(config, str(video["id"]))
+        n += 1
+    return n
+
+
 def clip_salient_audio(config, questions: List[Dict]) -> int:
     """Cut each question's answer span from its video's wav
     (reference dataset/get_salient_audioclips.py:6-17), as array slicing.
