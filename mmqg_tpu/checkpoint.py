@@ -7,10 +7,15 @@ msgpack checkpoint holds the whole train state (params, BN state, optimizer
 state, step/epoch, val metric), with "best" and "last" aliases preserving the
 evaluate CLI contract (reference evaluate.py:131-138 ``--best/--last``).
 
-Format: flax.serialization msgpack for the pytree + a JSON sidecar with
-metadata (step, epoch, metric, model config) — dependency-light, stable, and
-mesh-agnostic (arrays are saved fully replicated; ``shard_params`` re-places
-them on load).
+Formats (selectable per save; load auto-detects):
+
+* ``msgpack`` (default) — flax.serialization msgpack for the pytree + a JSON
+  sidecar with metadata (step, epoch, metric, model config) —
+  dependency-light, stable, and mesh-agnostic (arrays are saved fully
+  replicated; ``shard_params`` re-places them on load).
+* ``orbax`` — an Orbax ``StandardCheckpointer`` directory
+  (``<ckpt_dir>/<alias>.orbax/``) for ecosystem interop (tensorstore layout,
+  readable by any orbax consumer). Same alias + JSON-metadata contract.
 """
 
 from __future__ import annotations
@@ -30,11 +35,46 @@ def _to_host(tree):
         lambda x: np.asarray(x) if hasattr(x, "ndim") else x, tree)
 
 
+def _orbax_path(ckpt_dir: Path, alias: str) -> Path:
+    return (Path(ckpt_dir) / f"{alias}.orbax").resolve()
+
+
+def _save_orbax(ckpt_dir: Path, alias: str, train_state: Dict) -> Path:
+    import orbax.checkpoint as ocp
+
+    path = _orbax_path(ckpt_dir, alias)
+    with ocp.StandardCheckpointer() as ckptr:
+        # orbax state_dict-ifies via flax too, so NamedTuple optax states
+        # round-trip the same way as the msgpack backend
+        ckptr.save(path, serialization.to_state_dict(_to_host(train_state)),
+                   force=True)
+    return path
+
+
+def _load_orbax(ckpt_dir: Path, alias: str, template: Dict) -> Dict:
+    import orbax.checkpoint as ocp
+
+    tmpl_sd = serialization.to_state_dict(_to_host(template))
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(_orbax_path(ckpt_dir, alias), tmpl_sd)
+    return serialization.from_state_dict(template, restored)
+
+
 def save_checkpoint(ckpt_dir: Path, alias: str, train_state: Dict,
-                    metadata: Optional[Dict[str, Any]] = None) -> Path:
-    """Write ``<ckpt_dir>/<alias>.msgpack`` (+ .json metadata)."""
+                    metadata: Optional[Dict[str, Any]] = None,
+                    backend: str = "msgpack") -> Path:
+    """Write ``<ckpt_dir>/<alias>.msgpack`` or ``<alias>.orbax/``
+    (+ ``<alias>.json`` metadata)."""
     ckpt_dir = Path(ckpt_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
+    if backend == "orbax":
+        path = _save_orbax(ckpt_dir, alias, train_state)
+        if metadata is not None:
+            with open(ckpt_dir / f"{alias}.json", "w") as f:
+                json.dump(metadata, f, indent=2, default=str)
+        return path
+    if backend != "msgpack":
+        raise ValueError(f"unknown checkpoint backend {backend!r}")
     path = ckpt_dir / f"{alias}.msgpack"
     # to_state_dict flattens NamedTuples (optax states, AttnParams) into
     # msgpack-serialisable dicts; from_state_dict rebuilds them on load
@@ -52,11 +92,19 @@ def save_checkpoint(ckpt_dir: Path, alias: str, train_state: Dict,
 
 def load_checkpoint(ckpt_dir: Path, alias: str,
                     template: Dict) -> Tuple[Dict, Dict[str, Any]]:
-    """Restore into the structure of ``template``; returns (state, metadata)."""
+    """Restore into the structure of ``template``; returns (state, metadata).
+    The backend is auto-detected from what exists on disk (msgpack preferred
+    when both are present)."""
     ckpt_dir = Path(ckpt_dir)
-    with open(ckpt_dir / f"{alias}.msgpack", "rb") as f:
-        restored = serialization.msgpack_restore(f.read())
-    state = serialization.from_state_dict(template, restored)
+    mp = ckpt_dir / f"{alias}.msgpack"
+    if mp.exists():
+        with open(mp, "rb") as f:
+            restored = serialization.msgpack_restore(f.read())
+        state = serialization.from_state_dict(template, restored)
+    elif _orbax_path(ckpt_dir, alias).exists():
+        state = _load_orbax(ckpt_dir, alias, template)
+    else:
+        raise FileNotFoundError(f"no '{alias}' checkpoint in {ckpt_dir}")
     meta_path = ckpt_dir / f"{alias}.json"
     metadata = {}
     if meta_path.exists():
@@ -66,4 +114,5 @@ def load_checkpoint(ckpt_dir: Path, alias: str,
 
 
 def has_checkpoint(ckpt_dir: Path, alias: str) -> bool:
-    return (Path(ckpt_dir) / f"{alias}.msgpack").exists()
+    return ((Path(ckpt_dir) / f"{alias}.msgpack").exists()
+            or _orbax_path(ckpt_dir, alias).exists())

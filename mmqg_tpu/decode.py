@@ -164,6 +164,38 @@ def decode_batch(
                                 use_pallas=use_pallas, dec_kind=mc.decoder)
 
 
+@partial(jax.jit, static_argnames=("mc", "strategy", "max_len", "k",
+                                   "use_pallas", "audio_cap", "frames_cap"))
+def decode_batch_fused(
+    params: Dict,
+    state: Dict,
+    mc: qg_model.ModelConfig,
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+    *,
+    strategy: str = "greedy",
+    max_len: int = 21,
+    k: int = 1,
+    use_pallas: bool = True,
+    audio_cap: Optional[int] = None,
+    frames_cap: Optional[int] = None,
+) -> jnp.ndarray:
+    """Single-program encode+decode (same semantics as ``decode_batch``).
+
+    On backends with a large fixed per-program dispatch cost (this tunnel:
+    ~27 ms, non-pipelining) one program halves the floor; on a directly
+    attached host the two-program split compiles much faster and pipelines,
+    so ``decode_batch`` stays the default. Requires host-supplied
+    ``audio_cap``/``frames_cap`` (they are static jit args here)."""
+    mem, dec_state, _ = qg_model.encode(params, state, mc, batch, train=False,
+                                        use_pallas=use_pallas,
+                                        audio_cap=audio_cap,
+                                        frames_cap=frames_cap)
+    return decode_from_memories(params, mem, dec_state, rng,
+                                strategy=strategy, max_len=max_len, k=k,
+                                use_pallas=use_pallas, dec_kind=mc.decoder)
+
+
 @partial(jax.jit, static_argnames=("max_len", "beam_size", "use_pallas",
                                    "length_penalty", "dec_kind"))
 def beam_from_memories(

@@ -283,7 +283,8 @@ class Trainer:
             self.config.checkpoint_dir, alias, self.train_state,
             metadata={"epoch": epoch, "best_val": self.best_val,
                       "best_epoch": self.best_epoch,
-                      "mode": self.mc.mode, "n_vocab": self.mc.n_vocab})
+                      "mode": self.mc.mode, "n_vocab": self.mc.n_vocab},
+            backend=getattr(self.config, "checkpoint_backend", "msgpack"))
 
     def resume(self, alias: str = "last") -> bool:
         if not ckpt.has_checkpoint(self.config.checkpoint_dir, alias):

@@ -84,3 +84,16 @@ def test_tokens_to_words(setup):
     assert all(isinstance(w, str) for w in words[0])
     assert len(words[0]) == 2  # trimmed at <end>
     assert len(words[1]) == 1
+
+
+def test_fused_program_matches_split(setup):
+    """decode_batch_fused (one XLA program) must produce the same tokens as
+    the two-program decode_batch composition."""
+    mc, params, state, batch, _ = setup
+    rng = jax.random.PRNGKey(3)
+    split = DEC.decode_batch(params, state, mc, batch, rng,
+                             strategy="greedy", max_len=8, use_pallas=False)
+    fused = DEC.decode_batch_fused(params, state, mc, batch, rng,
+                                   strategy="greedy", max_len=8,
+                                   use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(split), np.asarray(fused))
