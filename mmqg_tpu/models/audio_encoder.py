@@ -75,6 +75,89 @@ def embed_examples(params: Dict, mel: jnp.ndarray, *, dtype=jnp.bfloat16) -> jnp
     return L.dense(params["fc3"], x, dtype=dtype)
 
 
+def calibrate_int8_scales(params: Dict, mel: jnp.ndarray, *,
+                          margin: float = 1.1) -> tuple:
+    """Run the float conv stack on a calibration batch and record each
+    quantized conv's input max -> static activation scales for
+    ``embed_examples_int8``.
+
+    Static scales are jit-static Python floats: the quantize step becomes a
+    pure elementwise epilogue XLA fuses into the producing conv, removing
+    the dynamic per-layer max pass. ``margin`` head-rooms the observed max
+    (activations above it saturate at 127, the standard post-training-quant
+    trade)."""
+    x = mel[..., None].astype(jnp.float32)
+    x = jax.nn.relu(L.conv2d(params["convs"][0], x, padding="SAME",
+                             dtype=jnp.float32, out_dtype=jnp.float32))
+    x = L.maxpool2d(x, 2)
+    scales = []
+    ci = 1
+    for _, reps in _BLOCKS[1:]:
+        for _ in range(reps):
+            scales.append(float(jnp.max(x)) * margin / 127.0)
+            x = jax.nn.relu(L.conv2d(params["convs"][ci], x, padding="SAME",
+                                     dtype=jnp.float32,
+                                     out_dtype=jnp.float32))
+            ci += 1
+        x = L.maxpool2d(x, 2)
+    return tuple(max(s, 1e-6) for s in scales)
+
+
+def embed_examples_int8(params: Dict, mel: jnp.ndarray, *,
+                        dtype=jnp.bfloat16, act_scales=None) -> jnp.ndarray:
+    """int8-quantized serving variant of ``embed_examples``.
+
+    The MXU runs int8 at 2x its bf16 rate; conv2..conv6 (99.6% of the conv
+    FLOPs) run as int8 x int8 -> int32 convs with per-output-channel weight
+    scales and dynamic per-EXAMPLE activation scales (activations are
+    post-relu, so a max/127 scale loses no sign bit; per-example scales keep
+    each embedding independent of what else shares the batch). conv1 stays
+    in ``dtype``: C_in=1 is MXU-hostile however expressed and its input is
+    signed log-mel. The fc head stays in ``dtype`` (bandwidth-bound on its
+    100 MB of weights, not MXU-bound).
+
+    ``act_scales`` (from ``calibrate_int8_scales``) switches to static
+    per-layer scales: no per-layer max pass, quantization fuses into the
+    previous conv's epilogue, activations saturate at the calibrated max.
+
+    Serving-only (no VJP path needed — training always uses
+    ``embed_examples``).
+    """
+    x = mel[..., None]
+    x = jax.nn.relu(L.conv2d(params["convs"][0], x, padding="SAME",
+                             dtype=dtype, out_dtype=dtype))
+    x = L.maxpool2d(x, 2)
+    ci = 1
+    for _, reps in _BLOCKS[1:]:
+        for _ in range(reps):
+            c = params["convs"][ci]
+            w = c["w"]
+            sw = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0    # (Cout,)
+            wq = jnp.round(w / jnp.maximum(sw, 1e-12)).astype(jnp.int8)
+            if act_scales is not None:
+                sx = act_scales[ci - 1]
+                xq = jnp.round(jnp.clip(x.astype(jnp.float32) / sx,
+                                        0.0, 127.0)).astype(jnp.int8)
+            else:
+                sx = jnp.maximum(
+                    jnp.max(x, axis=(1, 2, 3),
+                            keepdims=True).astype(jnp.float32),
+                    1e-6) / 127.0                               # (N,1,1,1)
+                xq = jnp.round(x.astype(jnp.float32) / sx).astype(jnp.int8)
+            yi = jax.lax.conv_general_dilated(
+                xq, wq, window_strides=(1, 1), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            y = yi.astype(jnp.float32) * (sx * sw) + c["b"]
+            x = jax.nn.relu(y).astype(dtype)
+            ci += 1
+        x = L.maxpool2d(x, 2)
+    x = x.reshape(x.shape[0], -1)
+    x = jax.nn.relu(L.dense(params["fc1"], x, dtype=dtype))
+    x = jax.nn.relu(L.dense(params["fc2"], x, dtype=dtype))
+    return L.dense(params["fc3"], x, dtype=dtype)
+
+
 # torchvggish state_dict layout -> our pytree. Conv weights are (O, I, H, W)
 # in torch and (H, W, I, O) here; fc weights are (O, I) -> (I, O).
 _VGGISH_CONV_KEYS = ("features.0", "features.3", "features.6", "features.8",
@@ -113,10 +196,27 @@ def apply(
     audio_examples_len: jnp.ndarray,  # (B,) int32 — valid example count
     *,
     dtype=jnp.bfloat16,
+    int8: bool = False,
+    int8_scales=None,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
-    """Returns (B, E, 128) zero-masked past each sample's example count."""
+    """Returns (B, E, 128) zero-masked past each sample's example count.
+
+    ``int8`` routes the conv stack through ``embed_examples_int8`` (2x MXU
+    rate; serving only — callers pass train=False paths here).
+    ``use_pallas`` routes it through the fused VMEM-resident kernel
+    (ops/vggish_pallas.py) — measured slower than XLA's conv lowering on
+    v5e, kept as the documented alternative; inference only, repo
+    convention: loss_fn always takes the XLA path (no VJP)."""
     B, E = mel_examples.shape[:2]
     flat = mel_examples.reshape((B * E,) + mel_examples.shape[2:])
-    emb = embed_examples(params, flat, dtype=dtype).reshape(B, E, -1)
+    if int8:
+        emb = embed_examples_int8(params, flat, dtype=dtype,
+                                  act_scales=int8_scales).reshape(B, E, -1)
+    elif use_pallas and jax.default_backend() not in ("cpu",):
+        from mmqg_tpu.ops.vggish_pallas import embed_examples_pallas
+        emb = embed_examples_pallas(params, flat, dtype=dtype).reshape(B, E, -1)
+    else:
+        emb = embed_examples(params, flat, dtype=dtype).reshape(B, E, -1)
     mask = (jnp.arange(E)[None, :] < audio_examples_len[:, None])[..., None]
     return jnp.where(mask, emb, 0.0)

@@ -9,15 +9,20 @@ layer, C_in=1, uses a 9-tap im2col GEMM instead of nine rank-1 updates),
 with relu fused and pooling as reshape-max on registers.
 
 VMEM (~16 MB/core) cannot hold all six convs' weights (~9 MB bf16) plus the
-large stage-1 activations, so the stack is split at its natural waist:
+large stage-1 activations, and this backend's Mosaic rejects the C_in=1 first
+layer's lane-dim pad/shift at full 96x64 size, so the stack splits three
+ways:
 
-* stage A: conv64-pool, conv128-pool, conv256 x2-pool   (weights ~1.9 MB)
-  (E, 96, 64) mel -> (E, 12, 8, 256)
-* stage B: conv512 x2-pool                              (weights ~7.1 MB)
+* conv64-pool stays in XLA: 7 MFLOP/example (0.4% of the stack), C_in=1 is
+  MXU-hostile however expressed, and XLA's lowering handles it fine.
+* stage A (Pallas): conv128-pool, conv256 x2-pool        (weights ~1.9 MB)
+  (E, 48, 32, 64) -> (E, 12, 8, 256)
+* stage B (Pallas): conv512 x2-pool                      (weights ~7.1 MB)
   (E, 12, 8, 256) -> (E, 6*4*512) features
 
-The A->B intermediate is a bf16 HBM round-trip (~50 KB/example — negligible
-next to the multi-MB per-example traffic XLA's layer-by-layer schedule pays).
+The stage boundaries are bf16 HBM round-trips (~250 KB/example total —
+small next to the multi-MB per-example traffic XLA's layer-by-layer
+schedule pays on the 512-channel blocks).
 
 The fc head (12288->4096->4096->128, ~100 MB of weights) stays outside in
 XLA — a plain large GEMM XLA already runs well, and its weights don't fit
@@ -60,36 +65,19 @@ def _conv3x3_relu(x, w, b, dtype):
     return y.reshape(E, H, W, Cout).astype(dtype)
 
 
-def _conv3x3_relu_cin1(x, w, b, dtype):
-    """First layer (C_in == 1): one 9-contraction im2col GEMM instead of nine
-    rank-1 updates. x (E, H, W), w (3, 3, 1, Cout)."""
-    E, H, W = x.shape
-    Cout = w.shape[-1]
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1)))
-    taps = [xp[:, ky:ky + H, kx:kx + W].reshape(E * H * W, 1)
-            for ky in range(3) for kx in range(3)]
-    tapm = jnp.concatenate(taps, axis=1).astype(dtype)       # (EHW, 9)
-    wm = w.reshape(9, Cout).astype(dtype)
-    acc = jnp.dot(tapm, wm, preferred_element_type=jnp.float32)
-    y = jnp.maximum(acc + b, 0.0)
-    return y.reshape(E, H, W, Cout).astype(dtype)
-
-
 def _pool2(x):
     E, H, W, C = x.shape
     return x.reshape(E, H // 2, 2, W // 2, 2, C).max(axis=(2, 4))
 
 
-def _kernel_a(mel_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+def _kernel_a(x_ref, w2_ref, b2_ref, w3_ref, b3_ref,
               w4_ref, b4_ref, out_ref, *, dtype, sub: int):
-    # stage-1 activations are the big ones: process ``sub`` examples per
+    # stage-A activations are the big ones: process ``sub`` examples per
     # unrolled sub-step so live ranges stay small while the IO block stays
     # Mosaic-aligned at E_TILE.
-    E = mel_ref.shape[0]
+    E = x_ref.shape[0]
     for s in range(E // sub):
-        x = mel_ref[s * sub:(s + 1) * sub]                  # (sub, 96, 64)
-        x = _conv3x3_relu_cin1(x, w1_ref[:], b1_ref[0], dtype)
-        x = _pool2(x)                                       # (sub, 48, 32, 64)
+        x = x_ref[s * sub:(s + 1) * sub]                    # (sub, 48, 32, 64)
         x = _conv3x3_relu(x, w2_ref[:], b2_ref[0], dtype)
         x = _pool2(x)                                       # (sub, 24, 16, 128)
         x = _conv3x3_relu(x, w3_ref[:], b3_ref[0], dtype)
@@ -122,10 +110,12 @@ def _weight_args_specs(convs, lo, hi, dtype):
 
 
 def vggish_features_pallas(params: Dict, mel: jnp.ndarray, *,
-                           dtype=jnp.bfloat16, sub_a: int = 1,
+                           dtype=jnp.bfloat16, sub_a: int = 2,
                            sub_b: int = 4, interpret=None) -> jnp.ndarray:
     """(N, 96, 64) log-mel examples -> (N, 6*4*512) conv features.
     ``params`` is the audio_encoder pytree (uses params['convs'])."""
+    from mmqg_tpu.models import layers as L
+
     if interpret is None:
         interpret = _INTERPRET
     for name, sub in (("sub_a", sub_a), ("sub_b", sub_b)):
@@ -138,17 +128,22 @@ def vggish_features_pallas(params: Dict, mel: jnp.ndarray, *,
     Np = mel.shape[0]
     convs = params["convs"]
 
-    a_args, a_specs = _weight_args_specs(convs, 0, 4, dtype)
+    # conv1 + pool in XLA (see module docstring)
+    x1 = jax.nn.relu(L.conv2d(convs[0], mel[..., None], padding="SAME",
+                              dtype=dtype, out_dtype=dtype))
+    x1 = L.maxpool2d(x1, 2)                                # (Np, 48, 32, 64)
+
+    a_args, a_specs = _weight_args_specs(convs, 1, 4, dtype)
     mid = pl.pallas_call(
         functools.partial(_kernel_a, dtype=dtype, sub=sub_a),
         grid=(Np // E_TILE,),
-        in_specs=[pl.BlockSpec((E_TILE, 96, 64), lambda i: (i, 0, 0),
+        in_specs=[pl.BlockSpec((E_TILE, 48, 32, 64), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)] + a_specs,
         out_specs=pl.BlockSpec((E_TILE, 12, 8, 256), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Np, 12, 8, 256), dtype),
         interpret=interpret,
-    )(mel.astype(dtype), *a_args)
+    )(x1, *a_args)
 
     b_args, b_specs = _weight_args_specs(convs, 4, 6, dtype)
     flat = 6 * 4 * 512

@@ -98,6 +98,29 @@ class QGPipeline:
                 batch["audio_len"][i] = s
         return batch
 
+    def calibrate_audio_int8(self, audio: Sequence[np.ndarray],
+                             margin: float = 1.1) -> "QGPipeline":
+        """Post-training int8 calibration on representative audio clips:
+        records static per-layer activation scales so the quantize steps
+        fuse into the conv epilogues (audio_encoder.calibrate_int8_scales).
+        Mutates and returns self; serving picks the scales up via the model
+        config."""
+        from mmqg_tpu.models import audio_encoder, frontends
+
+        mc = self.mc
+        batch = self._pack([""] * len(audio), None, list(audio))
+        mel = frontends.log_mel_examples(
+            jax.numpy.asarray(batch["audio_pcm"]),
+            sample_rate=mc.sample_rate, window=mc.stft_window,
+            hop=mc.stft_hop, mel_bins=mc.mel_bins,
+            frames_per_example=mc.mel_frames,
+            max_examples=mc.av_max_length, dtype=jax.numpy.float32)
+        flat = np.asarray(mel).reshape((-1,) + mel.shape[2:])
+        scales = audio_encoder.calibrate_int8_scales(
+            self.params["audio_enc"], jax.numpy.asarray(flat), margin=margin)
+        self.mc = mc._replace(audio_int8_scales=scales)
+        return self
+
     def _to_words(self, tokens: np.ndarray) -> List[str]:
         out = []
         for row in np.asarray(tokens):

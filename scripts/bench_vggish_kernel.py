@@ -40,6 +40,20 @@ def main():
         ms = timeit(xla_fn, params, mel)
         print(f"N={N:5d} XLA embed_examples          {ms:8.2f} ms")
 
+        try:
+            i8_fn = jax.jit(functools.partial(
+                audio_encoder.embed_examples_int8, dtype=jnp.bfloat16))
+            ms = timeit(i8_fn, params, mel)
+            ref = np.asarray(xla_fn(params, mel)).astype(np.float64)
+            got = np.asarray(i8_fn(params, mel)).astype(np.float64)
+            rel = (np.linalg.norm(got - ref) /
+                   max(np.linalg.norm(ref), 1e-9))
+            print(f"N={N:5d} XLA int8 conv               {ms:8.2f} ms  "
+                  f"rel_err={rel:.4f}")
+        except Exception as e:  # noqa: BLE001
+            print(f"N={N:5d} XLA int8 conv FAILED: "
+                  f"{type(e).__name__}: {str(e)[:200]}")
+
         for sub_a, sub_b in ((1, 4), (2, 8)):
             try:
                 fn = jax.jit(functools.partial(_embed, sa=sub_a, sb=sub_b))
