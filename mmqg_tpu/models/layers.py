@@ -223,6 +223,18 @@ def conv2d(params: Params, x: jnp.ndarray, *, stride: int = 1,
 
 def maxpool2d(x: jnp.ndarray, window: int, stride: Optional[int] = None) -> jnp.ndarray:
     stride = stride or window
+    N, H, W, C = x.shape
+    if stride == window:
+        # Non-overlapping pool as crop + reshape-max — bit-identical to
+        # reduce_window VALID (whose windows also stop at the last full
+        # multiple), but the BACKWARD is a compare/select mask instead of
+        # reduce_window's SelectAndScatter, which XLA:TPU lowers
+        # catastrophically (the VGGish backward was 8x its forward; the fix
+        # measured 1.44x on the trimodal train step).
+        Hc, Wc = (H // window) * window, (W // window) * window
+        x = x[:, :Hc, :Wc]
+        return x.reshape(N, Hc // window, window, Wc // window, window,
+                         C).max(axis=(2, 4))
     return lax.reduce_window(
         x, -jnp.inf, lax.max,
         window_dimensions=(1, window, window, 1),

@@ -216,9 +216,13 @@ def encode(
                 hop=mc.stft_hop, window=mc.stft_window,
                 frames_per_example=mc.mel_frames,
                 max_examples=cap), 1)
+        # int8 only off-CPU: XLA:CPU's int8 conv path intermittently aborts
+        # the process in long test sessions (see NOTES_NEXT_ROUND.md flake
+        # entry), and the 2x-MXU motivation is TPU-only anyway.
         enc_audio = audio_encoder.apply(
             params["audio_enc"], mel, audio_len, dtype=dtype,
-            int8=(mc.audio_int8_serving and not train),
+            int8=(mc.audio_int8_serving and not train
+                  and jax.default_backend() not in ("cpu",)),
             int8_scales=mc.audio_int8_scales)
         if cap < mc.av_max_length:
             enc_audio = jnp.pad(

@@ -54,6 +54,22 @@ def main():
             print(f"N={N:5d} XLA int8 conv FAILED: "
                   f"{type(e).__name__}: {str(e)[:200]}")
 
+        try:
+            scales = audio_encoder.calibrate_int8_scales(params, mel[:64])
+            i8s_fn = jax.jit(functools.partial(
+                audio_encoder.embed_examples_int8, dtype=jnp.bfloat16,
+                act_scales=scales))
+            ms = timeit(i8s_fn, params, mel)
+            ref = np.asarray(xla_fn(params, mel)).astype(np.float64)
+            got = np.asarray(i8s_fn(params, mel)).astype(np.float64)
+            rel = (np.linalg.norm(got - ref) /
+                   max(np.linalg.norm(ref), 1e-9))
+            print(f"N={N:5d} XLA int8 static scales      {ms:8.2f} ms  "
+                  f"rel_err={rel:.4f}")
+        except Exception as e:  # noqa: BLE001
+            print(f"N={N:5d} XLA int8 static FAILED: "
+                  f"{type(e).__name__}: {str(e)[:200]}")
+
         for sub_a, sub_b in ((1, 4), (2, 8)):
             try:
                 fn = jax.jit(functools.partial(_embed, sa=sub_a, sb=sub_b))
