@@ -95,6 +95,7 @@ class Config:
     use_pallas: bool = True          # fused TPU kernels; False -> pure-XLA path
     grad_clip_norm: float = 0.0      # 0 disables (reference has no clipping)
     checkpoint_backend: str = "msgpack"  # or "orbax" (tensorstore interop)
+    train_av_bucketing: bool = True  # skip padded AV slots in train steps
     beam_size: int = 4
     # audio frontend (VGGish-compatible framing)
     audio_sample_rate: int = 16000

@@ -59,15 +59,20 @@ def _bucket(need: int, av: int) -> int:
     return av
 
 
+def audio_examples_needed(mc: qg_model.ModelConfig, audio_len) -> int:
+    """Host-side max mel-example count a batch actually needs."""
+    import numpy as np
+    return int(np.max(
+        np.maximum(0, (np.asarray(audio_len) - mc.stft_window) // mc.stft_hop
+                   + 1) // mc.mel_frames))
+
+
 def audio_bucket(mc: qg_model.ModelConfig, audio_len) -> int:
     """Host-side bucket for the batch's max audio example count: the VGGish
     encoder only runs on that many example slots (see qg_model.encode
     audio_cap). Buckets bound jit-cache growth to <=8 variants."""
-    import numpy as np
     av = mc.av_max_length
-    need = int(np.max(
-        np.maximum(0, (np.asarray(audio_len) - mc.stft_window) // mc.stft_hop
-                   + 1) // mc.mel_frames))
+    need = audio_examples_needed(mc, audio_len)
     return _bucket(max(1, min(need, av)), av)
 
 

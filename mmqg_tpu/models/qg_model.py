@@ -264,10 +264,18 @@ def loss_fn(
     dropout_rng: Optional[jax.Array] = None,
     use_pallas: bool = True,
     dtype=jnp.bfloat16,
+    audio_cap: Optional[int] = None,
+    frames_cap: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Teacher-forced masked CE. Returns (objective, aux dict).
     objective = mean over valid samples of per-sample summed CE
-    (reference train.py:174-177 backprops the per-sample sum)."""
+    (reference train.py:174-177 backprops the per-sample sum).
+
+    ``audio_cap``/``frames_cap`` (static) bound the AV encoders to the
+    batch's real AV lengths, exactly like the serving path: padded slots'
+    embeddings are zero-masked before attention, so their gradients are
+    identically zero — capping changes compute, not gradients (tested in
+    test_train.py::test_bucketed_train_step_matches_uncapped)."""
     target = batch["target_ids"]                       # (B, T)
     B, T = target.shape
     start = jnp.full((B, 1), START_ID, target.dtype)
@@ -280,7 +288,8 @@ def loss_fn(
 
     mem, dec_state, new_state = encode(
         params, state, mc, batch, train=train, dropout_rng=dropout_rng,
-        use_pallas=use_pallas, dtype=dtype)
+        use_pallas=use_pallas, dtype=dtype, audio_cap=audio_cap,
+        frames_cap=frames_cap)
     if mc.decoder == "attn":
         logits = decoder.teacher_forced_logits(
             params["decoder"], params["embedding"]["table"], dec_inputs, mem,

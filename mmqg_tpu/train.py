@@ -77,13 +77,18 @@ def batch_arrays(batch: Batch) -> Dict[str, np.ndarray]:
 
 
 def make_train_step(mc: qg_model.ModelConfig, optimizer, *,
-                    use_pallas: bool = True, dtype=jnp.bfloat16):
+                    use_pallas: bool = True, dtype=jnp.bfloat16,
+                    audio_cap=None, frames_cap=None):
+    """``audio_cap``/``frames_cap``: static AV-length buckets (see
+    qg_model.loss_fn) — the encoders skip guaranteed-padding slots whose
+    gradients are identically zero. One compiled variant per bucket pair."""
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(train_state, batch, rng):
         def lf(params):
             return qg_model.loss_fn(
                 params, train_state["model_state"], mc, batch, train=True,
-                dropout_rng=rng, use_pallas=use_pallas, dtype=dtype)
+                dropout_rng=rng, use_pallas=use_pallas, dtype=dtype,
+                audio_cap=audio_cap, frames_cap=frames_cap)
 
         (objective, aux), grads = jax.value_and_grad(lf, has_aux=True)(
             train_state["params"])
@@ -199,6 +204,11 @@ class Trainer:
                                             self.optimizer)
         self.train_step = make_train_step(mc, self.optimizer,
                                           use_pallas=self.use_pallas)
+        # bucketed variants (quarter-granularity: bounds recompiles to <=16
+        # pairs, amortised over epochs) — skip padded AV slots in training
+        # just like serving does; gradients are unchanged (loss_fn doc)
+        self.av_bucketing = getattr(config, "train_av_bucketing", True)
+        self._bucketed_steps = {}
         self.validate_step = make_validate_step(mc, use_pallas=self.use_pallas)
         # reference epoch_stats schema (train.py:132)
         self.epoch_stats = {"train": {"loss": []},
@@ -209,14 +219,41 @@ class Trainer:
         self.start_epoch = 0
 
     # ------------------------------------------------------------- epochs
+    def _step_for(self, arrays) -> Any:
+        """Pick (and cache) the train-step variant for this batch's AV
+        buckets; falls back to the uncapped step for text-only mode or when
+        bucketing is disabled."""
+        if not self.av_bucketing or self.mc.mode == "text":
+            return self.train_step
+        from mmqg_tpu import decode as DEC
+
+        av = self.mc.av_max_length
+        quarter = lambda need: next(  # noqa: E731
+            b for b in (max(1, av // 4), max(1, av // 2),
+                        max(1, (3 * av) // 4), av)
+            if min(max(need, 1), av) <= b)
+        fcap = quarter(int(np.max(arrays["frames_len"])))
+        acap = None
+        if self.mc.mode == "trimodal":
+            acap = quarter(DEC.audio_examples_needed(self.mc,
+                                                     arrays["audio_len"]))
+        key = (acap, fcap)
+        if key not in self._bucketed_steps:
+            self._bucketed_steps[key] = make_train_step(
+                self.mc, self.optimizer, use_pallas=self.use_pallas,
+                audio_cap=acap, frames_cap=fcap)
+        return self._bucketed_steps[key]
+
     def run_epoch(self, epoch: int) -> float:
         bs = self.config.batch_size
         total, n = 0.0, 0
         rng_np = np.random.default_rng(self.config.seed + epoch)
         for batch in self.train_ds.batches(bs, shuffle=True, rng=rng_np):
             self.rng, step_rng = jax.random.split(self.rng)
-            self.train_state, metrics = self.train_step(
-                self.train_state, batch_arrays(batch), step_rng)
+            arrays = batch_arrays(batch)
+            step_fn = self._step_for(arrays)
+            self.train_state, metrics = step_fn(
+                self.train_state, arrays, step_rng)
             total += float(metrics["loss"]) * batch.size
             n += batch.size
         return total / max(n, 1)

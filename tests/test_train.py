@@ -56,3 +56,52 @@ def test_validate_returns_bleu_suite(trainer):
     val = trainer.validate()
     for k in ("loss", "bleu", "bleu_1", "bleu_2", "bleu_3"):
         assert k in val and np.isfinite(val[k])
+
+
+def test_bucketed_train_step_matches_uncapped(tiny_config, tiny_corpus):
+    """AV-capped train steps must produce the same loss and parameters as
+    uncapped ones: padded slots' embeddings are zero-masked, so their
+    gradients are identically zero."""
+    import jax
+
+    from mmqg_tpu.train import (batch_arrays, init_train_state,
+                                make_optimizer, make_train_step)
+
+    train_ds = QGDataset(tiny_config, tiny_config.train_file)
+    emb = np.load(tiny_config.weights_matrix_file).astype(np.float32)
+    mc = qg_model.ModelConfig.from_config(
+        tiny_config, n_vocab=len(train_ds.vocab), mode="trimodal")
+    opt = make_optimizer(tiny_config)
+    arrays = batch_arrays(next(train_ds.batches(4)))
+    # shrink real AV lengths so a cap below av_max_length is valid; zero the
+    # now-invalid tails so capped and uncapped runs see the same real data
+    arrays["frames_len"] = np.minimum(arrays["frames_len"], 1)
+    arrays["frames"][:, 1:] = 0
+    one_example = tiny_config.stft_window + (
+        tiny_config.mel_frames_per_example - 1) * tiny_config.stft_hop
+    arrays["audio_len"] = np.minimum(arrays["audio_len"], one_example)
+    arrays["audio_pcm"][:, one_example:] = 0
+    rng = jax.random.PRNGKey(7)
+
+    def fresh():
+        return jax.device_put(init_train_state(jax.random.PRNGKey(0), mc,
+                                               emb, opt))
+
+    full = make_train_step(mc, opt, use_pallas=False)
+    ts_a, m_a = full(fresh(), arrays, rng)
+
+    from mmqg_tpu import decode as DEC
+    acap = min(mc.av_max_length,
+               max(1, DEC.audio_examples_needed(mc, arrays["audio_len"])))
+    fcap = int(np.max(arrays["frames_len"]))
+    assert acap < mc.av_max_length or fcap < mc.av_max_length, \
+        "fixture does not exercise capping"
+    capped = make_train_step(mc, opt, use_pallas=False, audio_cap=acap,
+                             frames_cap=fcap)
+    ts_b, m_b = capped(fresh(), arrays, rng)
+
+    assert float(m_a["objective"]) == pytest.approx(
+        float(m_b["objective"]), rel=1e-4)
+    wa = np.asarray(ts_a["params"]["decoder"]["out"]["w"])
+    wb = np.asarray(ts_b["params"]["decoder"]["out"]["w"])
+    np.testing.assert_allclose(wa, wb, atol=1e-5, rtol=1e-4)
