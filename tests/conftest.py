@@ -21,6 +21,21 @@ import pytest  # noqa: E402
 from mmqg_tpu.config import Config  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """Run the virtual-mesh suite before the end-to-end suite.
+
+    XLA:CPU can abort the process (no diagnostic) when mesh-sharded donated
+    train steps run AFTER the long single-device e2e compiles in the same
+    process — intermittent, never seen in the reverse order or standalone
+    (NOTES_NEXT_ROUND.md "Known flake"; scripts/repro_cpu_mesh_abort.py).
+    Ordering the mesh tests first sidesteps the unsound interleaving while
+    keeping them in-process."""
+    def key(item):
+        path = str(item.fspath)
+        return 1 if path.endswith("test_end_to_end.py") else 0
+    items.sort(key=key)
+
+
 @pytest.fixture(scope="session")
 def tiny_config(tmp_path_factory) -> Config:
     """A miniature Config: tiny sequence lengths / frames / audio so every
