@@ -38,6 +38,36 @@ class QGPipeline:
         self.model_state = jax.device_put(model_state)
         self.vocab = vocab
         self.index_to_word = index_to_word
+        self.mesh = None
+
+    # ---------------------------------------------------------- multi-chip
+    def shard(self, mesh=None, shape=None) -> "QGPipeline":
+        """Place the pipeline onto a device mesh for multi-chip serving.
+
+        Data-parallel by default (every request batch is split over the
+        ``data`` axis; each chip decodes its shard, XLA inserts no
+        cross-chip collectives on the DP axis at all). A ``(data, model)``
+        ``shape`` additionally applies the tensor-parallel param rules
+        (``parallel.mesh._spec_for``) so big projections shard over
+        ``model`` and their collectives ride ICI. The reference has no
+        serving parallelism of any kind (SURVEY.md §2 C26-C28); this is the
+        scaling-book recipe: annotate shardings, let GSPMD do the rest.
+
+            pipe = QGPipeline.from_checkpoint(config).shard()   # all chips DP
+            pipe.generate(contexts, frames, audio)              # any batch size
+        """
+        from mmqg_tpu.parallel import make_mesh, shard_params
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        if mesh is None:
+            mesh = make_mesh(shape)
+        self.mesh = mesh
+        self.params = shard_params(self.params, mesh)
+        replicated = NamedSharding(mesh, PartitionSpec())
+        self.model_state = jax.tree.map(
+            lambda x: jax.device_put(x, replicated) if hasattr(x, "ndim") else x,
+            self.model_state)
+        return self
 
     # ------------------------------------------------------------ loading
     @classmethod
@@ -145,17 +175,44 @@ class QGPipeline:
         seed: int = 0,
     ) -> List[str]:
         """Generate one question per input example."""
+        n = len(contexts)
         batch = self._pack(contexts, frames, audio)
+        # AV buckets from the HOST arrays: after device placement they would
+        # cost a device sync per request (see decode.decode_batch)
+        has_av = self.mc.mode in ("text_video", "trimodal")
+        cap = (DEC.audio_bucket(self.mc, batch["audio_len"])
+               if self.mc.mode == "trimodal" else None)
+        fcap = DEC.frames_bucket(self.mc, batch["frames_len"]) if has_av else None
+        if self.mesh is not None:
+            batch = self._shard_request(batch)
         use_pallas = self.config.use_pallas
         max_len = self.config.question_max_length
         if strategy == "beam":
             toks = DEC.beam_decode_batch(
                 self.params, self.model_state, self.mc, batch,
                 max_len=max_len, beam_size=beam_size or self.config.beam_size,
-                use_pallas=use_pallas)
+                use_pallas=use_pallas, audio_cap=cap, frames_cap=fcap)
         else:
             toks = DEC.decode_batch(
                 self.params, self.model_state, self.mc, batch,
                 jax.random.PRNGKey(seed), strategy=strategy, max_len=max_len,
-                k=topk, use_pallas=use_pallas)
-        return self._to_words(toks)
+                k=topk, use_pallas=use_pallas, audio_cap=cap, frames_cap=fcap)
+        return self._to_words(toks)[:n]
+
+    def _shard_request(self, batch: Dict) -> Dict:
+        """Pad the request to a data-axis multiple (padded rows are trimmed
+        by generate()) and place it batch-over-data on the mesh."""
+        from mmqg_tpu.parallel import shard_batch
+
+        dp = self.mesh.devices.shape[0]
+        n = len(batch["valid"])
+        pad = (-n) % dp
+        if pad:
+            batch = {k: np.concatenate(
+                [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
+                for k, v in batch.items()}
+            batch["valid"][n:] = False
+            batch["frames_len"][n:] = 1
+            batch["target_len"][n:] = 1
+            batch["context_len"][n:] = 1
+        return shard_batch(batch, self.mesh)

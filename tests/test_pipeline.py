@@ -47,3 +47,30 @@ def test_unknown_words_are_skipped(trained):
     pipe = QGPipeline.from_checkpoint(trained)
     out = pipe.generate(["zzzunknown the process zzzalso"])
     assert len(out) == 1  # no KeyError on OOV input words
+
+
+def test_sharded_serving_matches_single_device(trained):
+    """Multi-chip DP serving (QGPipeline.shard) on the 8-device virtual mesh
+    must produce exactly the single-device generations, including when the
+    request size (3) doesn't divide the data axis (pad rows are trimmed)."""
+    rng = np.random.RandomState(1)
+    frames = rng.randint(0, 256, (2, trained.frame_size, trained.frame_size, 3),
+                         np.uint8)
+    pcm = (rng.randn(trained.audio_sample_rate) * 3000).astype(np.int16)
+    contexts = ["what is the process of the system",
+                "the value of the function is the result",
+                "the model is the system"]
+    frames_in = [frames, None, frames]
+    audio_in = [pcm, None, None]
+
+    ref_pipe = QGPipeline.from_checkpoint(trained, alias="best")
+    ref = {s: ref_pipe.generate(contexts, frames=frames_in, audio=audio_in,
+                                strategy=s) for s in ("greedy", "beam")}
+
+    for shape in ((8, 1), (4, 2)):
+        pipe = QGPipeline.from_checkpoint(trained, alias="best").shard(
+            shape=shape)
+        for strategy in ("greedy", "beam"):
+            out = pipe.generate(contexts, frames=frames_in, audio=audio_in,
+                                strategy=strategy)
+            assert out == ref[strategy], (shape, strategy)
