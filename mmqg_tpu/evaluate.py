@@ -43,23 +43,38 @@ def evaluate(
     seed: int = 0,
     use_pallas: bool = True,
     compat_bleu: bool = False,
+    mesh=None,
 ) -> Tuple[List[Dict], Dict[str, float]]:
-    """Decode the whole dataset; returns (predictions, bleu suite averages)."""
+    """Decode the whole dataset; returns (predictions, bleu suite averages).
+
+    ``mesh``: a ``jax.sharding.Mesh`` for multi-chip evaluation — params must
+    already be placed (parallel.shard_params); each batch is padded to the
+    data axis and sharded batch-over-data (padded rows produce extra token
+    rows that the zip below never reads)."""
     rng = jax.random.PRNGKey(seed)
     predictions: List[Dict] = []
     sums = {k: 0.0 for k in M.BLEU_WEIGHTS}
     n_total = 0
     for batch in dataset.batches(batch_size):
         arrays = batch_arrays(batch)
+        has_av = mc.mode in ("text_video", "trimodal")
+        cap = (DEC.audio_bucket(mc, arrays["audio_len"])
+               if mc.mode == "trimodal" else None)
+        fcap = DEC.frames_bucket(mc, arrays["frames_len"]) if has_av else None
+        if mesh is not None:
+            from mmqg_tpu.parallel import pad_and_shard_batch
+            arrays = pad_and_shard_batch(arrays, mesh)
         if strategy == "beam":
             toks = DEC.beam_decode_batch(
                 params, model_state, mc, arrays, max_len=pred_max_len,
-                beam_size=beam_size, use_pallas=use_pallas)
+                beam_size=beam_size, use_pallas=use_pallas,
+                audio_cap=cap, frames_cap=fcap)
         else:
             rng, k = jax.random.split(rng)
             toks = DEC.decode_batch(
                 params, model_state, mc, arrays, k, strategy=strategy,
-                max_len=pred_max_len, k=topk, use_pallas=use_pallas)
+                max_len=pred_max_len, k=topk, use_pallas=use_pallas,
+                audio_cap=cap, frames_cap=fcap)
         toks = np.asarray(toks)
         for row, q, qid, ok in zip(toks, batch.questions, batch.question_id,
                                    batch.valid):
@@ -98,6 +113,9 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
                         choices=["attn", "non_attn"])
     parser.add_argument("--compat-bleu", action="store_true",
                         help="score with the reference's (non-standard) BLEU call")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard evaluation batches over all devices "
+                             "(a data-axis Mesh; params replicate)")
     args = parser.parse_args(argv)
 
     config = Config.load(args.config_path)
@@ -117,11 +135,18 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
     template = init_train_state(jax.random.PRNGKey(0), mc, emb, optimizer)
     train_state, _ = ckpt.load_checkpoint(config.checkpoint_dir, alias, template)
 
+    mesh = None
+    params, model_state = train_state["params"], train_state["model_state"]
+    if args.data_parallel and len(jax.devices()) > 1:
+        from mmqg_tpu.parallel import make_mesh, shard_params
+        mesh = make_mesh()  # all devices on the data axis
+        params = shard_params(params, mesh)
+
     predictions, bleu = evaluate(
-        train_state["params"], train_state["model_state"], mc, dataset,
+        params, model_state, mc, dataset,
         strategy=args.strategy, batch_size=config.eval_batch_size,
         pred_max_len=config.question_max_length, beam_size=config.beam_size,
-        use_pallas=config.use_pallas, compat_bleu=args.compat_bleu)
+        use_pallas=config.use_pallas, compat_bleu=args.compat_bleu, mesh=mesh)
 
     out_path = config.output_path / f"{alias}_predictions_{args.strategy}.json"
     with open(out_path, "w") as f:

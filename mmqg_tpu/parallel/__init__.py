@@ -8,5 +8,6 @@ for every parameter/batch leaf, and jit-compiled steps whose collectives
 """
 
 from mmqg_tpu.parallel.mesh import (  # noqa: F401
-    make_mesh, batch_sharding, param_shardings, shard_batch, shard_params,
+    make_mesh, batch_sharding, pad_and_shard_batch, param_shardings,
+    shard_batch, shard_params,
 )

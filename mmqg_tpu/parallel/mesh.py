@@ -128,6 +128,27 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
             if hasattr(v, "ndim")}
 
 
+def pad_and_shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Pad a host batch to a data-axis multiple and shard it batch-over-data.
+
+    Padded rows get ``valid=False`` and length-1 sequence fields; callers
+    trim the extra output rows (decode output order is row-stable). Compute
+    AV buckets (decode.audio_bucket/frames_bucket) from the HOST arrays
+    BEFORE calling this — afterwards they cost a device sync."""
+    dp = mesh.devices.shape[0]
+    n = len(batch["valid"])
+    pad = (-n) % dp
+    if pad:
+        batch = {k: np.concatenate(
+            [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
+            for k, v in batch.items() if hasattr(v, "ndim")}
+        batch["valid"][n:] = False
+        for key in ("frames_len", "target_len", "context_len"):
+            if key in batch:
+                batch[key][n:] = 1
+    return shard_batch(batch, mesh)
+
+
 # ------------------------------------------------------- sequence parallelism
 
 def sequence_constraint(mesh: Mesh, axis: str = "model"):

@@ -202,17 +202,6 @@ class QGPipeline:
     def _shard_request(self, batch: Dict) -> Dict:
         """Pad the request to a data-axis multiple (padded rows are trimmed
         by generate()) and place it batch-over-data on the mesh."""
-        from mmqg_tpu.parallel import shard_batch
+        from mmqg_tpu.parallel import pad_and_shard_batch
 
-        dp = self.mesh.devices.shape[0]
-        n = len(batch["valid"])
-        pad = (-n) % dp
-        if pad:
-            batch = {k: np.concatenate(
-                [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
-                for k, v in batch.items()}
-            batch["valid"][n:] = False
-            batch["frames_len"][n:] = 1
-            batch["target_len"][n:] = 1
-            batch["context_len"][n:] = 1
-        return shard_batch(batch, self.mesh)
+        return pad_and_shard_batch(batch, self.mesh)

@@ -74,3 +74,36 @@ def test_sharded_serving_matches_single_device(trained):
             out = pipe.generate(contexts, frames=frames_in, audio=audio_in,
                                 strategy=strategy)
             assert out == ref[strategy], (shape, strategy)
+
+
+def test_data_parallel_evaluate_matches_single_device(trained):
+    """evaluate(mesh=...) must give the same predictions and BLEU as the
+    single-device path (exercises the --data-parallel CLI flag's machinery,
+    including non-divisible final batches)."""
+    import jax
+    from mmqg_tpu import checkpoint as ckpt
+    from mmqg_tpu import evaluate as E
+    from mmqg_tpu.data.dataset import QGDataset
+    from mmqg_tpu.models import qg_model
+    from mmqg_tpu.parallel import make_mesh, shard_params
+    from mmqg_tpu.train import init_train_state, make_optimizer
+
+    ds = QGDataset(trained, trained.test_file)
+    mc = qg_model.ModelConfig.from_config(trained, n_vocab=len(ds.vocab),
+                                          mode="trimodal")
+    emb = np.load(trained.weights_matrix_file).astype(np.float32)
+    template = init_train_state(jax.random.PRNGKey(0), mc, emb,
+                                make_optimizer(trained))
+    ts, _ = ckpt.load_checkpoint(trained.checkpoint_dir, "best", template)
+
+    preds_ref, bleu_ref = E.evaluate(
+        ts["params"], ts["model_state"], mc, ds, strategy="greedy",
+        batch_size=3, use_pallas=False)  # batch 3: pads to the 8-wide axis
+
+    mesh = make_mesh()
+    preds_dp, bleu_dp = E.evaluate(
+        shard_params(ts["params"], mesh), ts["model_state"], mc, ds,
+        strategy="greedy", batch_size=3, use_pallas=False, mesh=mesh)
+
+    assert preds_dp == preds_ref
+    assert bleu_dp == bleu_ref
