@@ -31,6 +31,10 @@ def train_main(argv: Optional[List[str]] = None) -> None:
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--resume", action="store_true",
                         help="resume from the last checkpoint")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard training over all devices "
+                             "(data axis of a (data, model) mesh); "
+                             "gradients all-reduce over ICI")
     args = parser.parse_args(argv)
 
     from mmqg_tpu.data.dataset import QGDataset
@@ -45,7 +49,13 @@ def train_main(argv: Optional[List[str]] = None) -> None:
     emb = np.load(config.weights_matrix_file).astype(np.float32)
     mc = qg_model.ModelConfig.from_config(config, n_vocab=len(train_ds.vocab),
                                           mode=args.mode, dec=args.decoder)
-    trainer = Trainer(config, mc, emb, train_ds, val_ds)
+    mesh = None
+    import jax
+    if args.data_parallel and len(jax.devices()) > 1:
+        from mmqg_tpu.parallel import make_mesh
+        mesh = make_mesh()  # all devices on the data axis
+        print(f"data-parallel over {len(jax.devices())} devices")
+    trainer = Trainer(config, mc, emb, train_ds, val_ds, mesh=mesh)
     if args.resume and trainer.resume("last"):
         print(f"resumed at epoch {trainer.start_epoch}")
     stats, best_epoch = trainer.fit(args.epochs)

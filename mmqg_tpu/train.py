@@ -190,7 +190,8 @@ class Trainer:
 
     def __init__(self, config, mc: qg_model.ModelConfig, emb_weights,
                  train_ds: QGDataset, val_ds: QGDataset,
-                 *, use_pallas: Optional[bool] = None, log_fn=print):
+                 *, use_pallas: Optional[bool] = None, log_fn=print,
+                 mesh=None):
         self.config = config
         self.mc = mc
         self.use_pallas = (config.use_pallas if use_pallas is None else use_pallas)
@@ -198,10 +199,13 @@ class Trainer:
         self.train_ds = train_ds
         self.val_ds = val_ds
         self.log = log_fn
+        self.mesh = mesh
         rng = jax.random.PRNGKey(config.seed)
         self.rng, init_rng = jax.random.split(rng)
         self.train_state = init_train_state(init_rng, mc, emb_weights,
                                             self.optimizer)
+        if mesh is not None:
+            self.train_state = self._place_on_mesh(self.train_state)
         self.train_step = make_train_step(mc, self.optimizer,
                                           use_pallas=self.use_pallas)
         # bucketed variants (quarter-granularity: bounds recompiles to <=16
@@ -217,6 +221,23 @@ class Trainer:
         self.best_val = float("inf")
         self.best_epoch = -1
         self.start_epoch = 0
+
+    # --------------------------------------------------------- parallelism
+    def _place_on_mesh(self, train_state) -> Dict[str, Any]:
+        """Shard the train state over ``self.mesh`` (SURVEY.md §2 C26-C28):
+        params/opt_state per the TP rules (pure-DP meshes replicate them),
+        model_state and step replicated. Batches shard batch-over-data in
+        ``run_epoch``/``validate``; XLA/GSPMD emits the grad psum over ICI."""
+        from jax.sharding import NamedSharding, PartitionSpec
+        from mmqg_tpu.parallel import shard_params
+
+        repl = NamedSharding(self.mesh, PartitionSpec())
+        return {
+            "params": shard_params(train_state["params"], self.mesh),
+            "model_state": jax.device_put(train_state["model_state"], repl),
+            "opt_state": shard_params(train_state["opt_state"], self.mesh),
+            "step": jax.device_put(train_state["step"], repl),
+        }
 
     # ------------------------------------------------------------- epochs
     def _step_for(self, arrays) -> Any:
@@ -251,7 +272,10 @@ class Trainer:
         for batch in self.train_ds.batches(bs, shuffle=True, rng=rng_np):
             self.rng, step_rng = jax.random.split(self.rng)
             arrays = batch_arrays(batch)
-            step_fn = self._step_for(arrays)
+            step_fn = self._step_for(arrays)  # buckets from HOST arrays
+            if self.mesh is not None:
+                from mmqg_tpu.parallel import pad_and_shard_batch
+                arrays = pad_and_shard_batch(arrays, self.mesh)
             self.train_state, metrics = step_fn(
                 self.train_state, arrays, step_rng)
             total += float(metrics["loss"]) * batch.size
@@ -263,10 +287,16 @@ class Trainer:
         loss_sum, n = 0.0, 0
         bleu_sums = {k: 0.0 for k in M.BLEU_WEIGHTS}
         for batch in self.val_ds.batches(bs):
+            arrays = batch_arrays(batch)
+            if self.mesh is not None:
+                from mmqg_tpu.parallel import pad_and_shard_batch
+                arrays = pad_and_shard_batch(arrays, self.mesh)
             per_sample, toks = self.validate_step(
                 self.train_state["params"], self.train_state["model_state"],
-                batch_arrays(batch))
-            per_sample = np.asarray(per_sample)
+                arrays)
+            # trim mesh-padding rows (output row order is stable)
+            per_sample = np.asarray(per_sample)[:len(batch.valid)]
+            toks = np.asarray(toks)[:len(batch.valid)]
             loss_sum += float(per_sample[batch.valid].sum())
             suite, k = evaluate_bleu(toks, batch.questions,
                                      self.val_ds.index_to_word, batch.valid)
@@ -328,6 +358,8 @@ class Trainer:
             return False
         self.train_state, meta = ckpt.load_checkpoint(
             self.config.checkpoint_dir, alias, self.train_state)
+        if self.mesh is not None:
+            self.train_state = self._place_on_mesh(self.train_state)
         self.start_epoch = int(meta.get("epoch", -1)) + 1
         self.best_val = float(meta.get("best_val", float("inf")))
         self.best_epoch = int(meta.get("best_epoch", -1))

@@ -117,3 +117,33 @@ def test_sequence_parallel_constraint(setup):
         ts["params"], ts["model_state"], mc, batch, jax.random.PRNGKey(0),
         strategy="greedy", max_len=4, use_pallas=False))
     np.testing.assert_array_equal(toks_sp, toks_ref)
+
+
+def test_trainer_data_parallel_matches_single_device(tiny_config, tiny_corpus):
+    """The Trainer's mesh path (CLI --data-parallel) must reproduce
+    single-device training: same epoch loss, working validate/BLEU, and
+    correct trimming of mesh-padding rows (batch 4 pads to the 8-device
+    data axis)."""
+    from mmqg_tpu.data.dataset import QGDataset
+    from mmqg_tpu.train import Trainer
+
+    def build(mesh):
+        train_ds = QGDataset(tiny_config, tiny_config.train_file,
+                             load_media=False)
+        val_ds = QGDataset(tiny_config, tiny_config.val_file,
+                           load_media=False)
+        emb = np.load(tiny_config.weights_matrix_file).astype(np.float32)
+        mc = qg_model.ModelConfig.from_config(
+            tiny_config, n_vocab=len(train_ds.vocab), mode="text")
+        return Trainer(tiny_config, mc, emb, train_ds, val_ds, mesh=mesh,
+                       log_fn=lambda *a, **k: None)
+
+    loss_1 = build(None).run_epoch(0)
+
+    dp = build(make_mesh((8, 1)))
+    loss_8 = dp.run_epoch(0)
+    assert loss_1 == pytest.approx(loss_8, rel=2e-2)
+
+    val = dp.validate()
+    assert np.isfinite(val["loss"])
+    assert 0.0 <= val["bleu"] <= 1.0
