@@ -22,16 +22,20 @@ from mmqg_tpu.config import Config  # noqa: E402
 
 
 def pytest_collection_modifyitems(config, items):
-    """Run the virtual-mesh suite before the end-to-end suite.
+    """Run the virtual-mesh suite FIRST, the end-to-end suite last.
 
     XLA:CPU can abort the process (no diagnostic) when mesh-sharded donated
-    train steps run AFTER the long single-device e2e compiles in the same
-    process — intermittent, never seen in the reverse order or standalone
+    train steps run AFTER long single-device compiles in the same process —
+    intermittent, never seen with the mesh tests first or standalone
     (NOTES_NEXT_ROUND.md "Known flake"; scripts/repro_cpu_mesh_abort.py).
-    Ordering the mesh tests first sidesteps the unsound interleaving while
-    keeping them in-process."""
+    An earlier version of this hook only moved test_end_to_end last, which
+    still left ~95 single-device tests ahead of the mesh suite — and the
+    abort recurred there. Mesh tests truly first sidesteps the unsound
+    interleaving while keeping them in-process."""
     def key(item):
         path = str(item.fspath)
+        if path.endswith("test_parallel.py"):
+            return -1
         return 1 if path.endswith("test_end_to_end.py") else 0
     items.sort(key=key)
 

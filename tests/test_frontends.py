@@ -61,3 +61,22 @@ def test_prepare_frames_resize():
     out = F.prepare_frames(jnp.asarray(x), size=16, normalize=False)
     # min side 32 -> 16, scale 0.5 applied to both dims
     assert out.shape == (1, 1, 16, 24, 3)
+
+
+def test_log_mel_bf16_spec_close_to_f32():
+    """The serving-path bf16 spectrogram (``spec_dtype``) must stay within
+    bf16 rounding of the f32 intermediate path (the log output is f32 in
+    both)."""
+    rng = np.random.RandomState(1)
+    sr, win, hop, n_mel, fpe, max_ex = 1600, 64, 32, 16, 8, 2
+    S = (max_ex * fpe - 1) * hop + win
+    pcm = rng.randn(2, S).astype(np.float32) * 0.1
+    kw = dict(sample_rate=sr, window=win, hop=hop, mel_bins=n_mel,
+              frames_per_example=fpe, max_examples=max_ex, dtype=jnp.float32)
+    ref = np.asarray(F.log_mel_examples(jnp.asarray(pcm), **kw))
+    alt = np.asarray(F.log_mel_examples(jnp.asarray(pcm),
+                                        spec_dtype=jnp.bfloat16, **kw))
+    assert alt.dtype == ref.dtype == np.float32
+    # log-mel values are O(log 0.01)..O(1); bf16 magnitudes give ~1e-2 abs
+    np.testing.assert_allclose(alt, ref, atol=5e-2)
+    assert np.abs(alt - ref).mean() < 1e-2
