@@ -35,6 +35,12 @@ def train_main(argv: Optional[List[str]] = None) -> None:
                         help="shard training over all devices "
                              "(data axis of a (data, model) mesh); "
                              "gradients all-reduce over ICI")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="capture a perfetto/tensorboard trace of one "
+                             "warm train step into this directory")
+    parser.add_argument("--nan-debug", action="store_true",
+                        help="sanitizer: re-run any jit producing NaNs "
+                             "op-by-op and raise at the offending primitive")
     args = parser.parse_args(argv)
 
     from mmqg_tpu.data.dataset import QGDataset
@@ -55,10 +61,16 @@ def train_main(argv: Optional[List[str]] = None) -> None:
         from mmqg_tpu.parallel import make_mesh
         mesh = make_mesh()  # all devices on the data axis
         print(f"data-parallel over {len(jax.devices())} devices")
-    trainer = Trainer(config, mc, emb, train_ds, val_ds, mesh=mesh)
+    trainer = Trainer(config, mc, emb, train_ds, val_ds, mesh=mesh,
+                      profile_dir=args.profile_dir)
     if args.resume and trainer.resume("last"):
         print(f"resumed at epoch {trainer.start_epoch}")
-    stats, best_epoch = trainer.fit(args.epochs)
+    if args.nan_debug:
+        from mmqg_tpu.utils import profiling
+        with profiling.nan_debugging():
+            stats, best_epoch = trainer.fit(args.epochs)
+    else:
+        stats, best_epoch = trainer.fit(args.epochs)
     print(f"Best epoch - {best_epoch} !")
     print("Done !")
 

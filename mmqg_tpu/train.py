@@ -191,7 +191,7 @@ class Trainer:
     def __init__(self, config, mc: qg_model.ModelConfig, emb_weights,
                  train_ds: QGDataset, val_ds: QGDataset,
                  *, use_pallas: Optional[bool] = None, log_fn=print,
-                 mesh=None):
+                 mesh=None, profile_dir=None):
         self.config = config
         self.mc = mc
         self.use_pallas = (config.use_pallas if use_pallas is None else use_pallas)
@@ -200,6 +200,7 @@ class Trainer:
         self.val_ds = val_ds
         self.log = log_fn
         self.mesh = mesh
+        self.profile_dir = profile_dir  # perfetto trace of one warm step
         rng = jax.random.PRNGKey(config.seed)
         self.rng, init_rng = jax.random.split(rng)
         self.train_state = init_train_state(init_rng, mc, emb_weights,
@@ -269,15 +270,25 @@ class Trainer:
         bs = self.config.batch_size
         total, n = 0.0, 0
         rng_np = np.random.default_rng(self.config.seed + epoch)
-        for batch in self.train_ds.batches(bs, shuffle=True, rng=rng_np):
+        for i, batch in enumerate(
+                self.train_ds.batches(bs, shuffle=True, rng=rng_np)):
             self.rng, step_rng = jax.random.split(self.rng)
             arrays = batch_arrays(batch)
             step_fn = self._step_for(arrays)  # buckets from HOST arrays
             if self.mesh is not None:
                 from mmqg_tpu.parallel import pad_and_shard_batch
                 arrays = pad_and_shard_batch(arrays, self.mesh)
-            self.train_state, metrics = step_fn(
-                self.train_state, arrays, step_rng)
+            if self.profile_dir and epoch == self.start_epoch and i == 1:
+                # second batch: past the compile, captures a warm step
+                from mmqg_tpu.utils import profiling
+                with profiling.trace(self.profile_dir):
+                    with profiling.annotate("train_step"):
+                        self.train_state, metrics = step_fn(
+                            self.train_state, arrays, step_rng)
+                        np.asarray(metrics["loss"])  # sync inside the trace
+            else:
+                self.train_state, metrics = step_fn(
+                    self.train_state, arrays, step_rng)
             total += float(metrics["loss"]) * batch.size
             n += batch.size
         return total / max(n, 1)

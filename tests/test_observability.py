@@ -39,3 +39,25 @@ def test_audit_corpus(tiny_config, tiny_corpus):
     assert report["context"][0] <= tiny_config.context_max_length
     assert report["question"][0] >= 1
     assert report["frames"][0] <= tiny_config.av_max_length
+
+
+def test_trainer_profile_dir_writes_trace(tiny_config, tiny_corpus, tmp_path):
+    """Trainer(profile_dir=...) must dump a perfetto/tensorboard trace of a
+    warm train step (SURVEY.md §5 tracing; CLI --profile-dir)."""
+    import numpy as np
+    from mmqg_tpu.data.dataset import QGDataset
+    from mmqg_tpu.models import qg_model
+    from mmqg_tpu.train import Trainer
+
+    train_ds = QGDataset(tiny_config, tiny_config.train_file,
+                         load_media=False)
+    val_ds = QGDataset(tiny_config, tiny_config.val_file, load_media=False)
+    emb = np.load(tiny_config.weights_matrix_file).astype(np.float32)
+    mc = qg_model.ModelConfig.from_config(
+        tiny_config, n_vocab=len(train_ds.vocab), mode="text")
+    tr = Trainer(tiny_config.replace(batch_size=4), mc, emb, train_ds,
+                 val_ds, profile_dir=tmp_path / "trace",
+                 log_fn=lambda *a, **k: None)
+    tr.run_epoch(0)
+    dumped = list((tmp_path / "trace").rglob("*"))
+    assert any(f.is_file() for f in dumped), dumped
