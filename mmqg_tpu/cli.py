@@ -35,6 +35,11 @@ def train_main(argv: Optional[List[str]] = None) -> None:
                         help="shard training over all devices "
                              "(data axis of a (data, model) mesh); "
                              "gradients all-reduce over ICI")
+    parser.add_argument("--grad-accum", type=int, default=None,
+                        help="gradient-accumulation microbatches per "
+                             "optimizer update (overrides config "
+                             "grad_accum_steps); lets batch_size exceed "
+                             "the single-step HBM ceiling")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="capture a perfetto/tensorboard trace of one "
                              "warm train step into this directory")
@@ -48,6 +53,8 @@ def train_main(argv: Optional[List[str]] = None) -> None:
     from mmqg_tpu.train import Trainer
 
     config = (Config.load(args.config_path) if args.config_path else Config())
+    if args.grad_accum:
+        config = config.replace(grad_accum_steps=args.grad_accum)
     config.ensure_dirs()
     load_media = args.mode != "text"
     train_ds = QGDataset(config, config.train_file, load_media=load_media)

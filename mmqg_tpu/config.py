@@ -94,6 +94,7 @@ class Config:
     mesh_axis_names: Tuple[str, str] = ("data", "model")
     use_pallas: bool = True          # fused TPU kernels; False -> pure-XLA path
     grad_clip_norm: float = 0.0      # 0 disables (reference has no clipping)
+    grad_accum_steps: int = 1        # microbatches per optimizer update
     checkpoint_backend: str = "msgpack"  # or "orbax" (tensorstore interop)
     train_av_bucketing: bool = True  # skip padded AV slots in train steps
     beam_size: int = 4

@@ -256,11 +256,18 @@ def batchnorm_init(ch: int) -> Tuple[Params, Params]:
 def batchnorm(params: Params, state: Params, x: jnp.ndarray, *, train: bool,
               momentum: float = 0.1, eps: float = 1e-5):
     """Channel-last batchnorm (reference used torch BatchNorm2d,
-    model/encoder.py:41-49). Returns (y, new_state)."""
+    model/encoder.py:41-49). Returns (y, new_state).
+
+    Statistics and the normalisation run in f32 regardless of the
+    activation dtype; the output is cast back to ``x.dtype`` so bf16
+    activation stacks stay bf16 across the conv->bn->pool boundaries
+    (the f32 maths fuses into the surrounding elementwise chain — no f32
+    buffer is materialised)."""
+    xf = x.astype(jnp.float32)
     if train:
         axes = tuple(range(x.ndim - 1))
-        mean = jnp.mean(x, axes)
-        var = jnp.var(x, axes)
+        mean = jnp.mean(xf, axes)
+        var = jnp.var(xf, axes)
         new_state = {
             "mean": (1 - momentum) * state["mean"] + momentum * mean,
             "var": (1 - momentum) * state["var"] + momentum * var,
@@ -269,5 +276,5 @@ def batchnorm(params: Params, state: Params, x: jnp.ndarray, *, train: bool,
     else:
         mean, var = state["mean"], state["var"]
         new_state = state
-    y = (x - mean) * lax.rsqrt(var + eps) * params["scale"] + params["bias"]
-    return y, new_state
+    y = (xf - mean) * lax.rsqrt(var + eps) * params["scale"] + params["bias"]
+    return y.astype(x.dtype), new_state

@@ -89,20 +89,26 @@ def cnn_features(params: Dict, state: Dict, frames: jnp.ndarray, *,
     new_bn_state = []
     for i, (conv, bn, bn_s) in enumerate(zip(convs, params["bns"],
                                              state["bns"])):
-        x = jax.nn.relu(L.conv2d(conv, x, dtype=dtype))
+        # bf16 activations end-to-end: the conv pyramid over B*T frames is
+        # the widest buffer stack of the train step (an f32 variant OOMed
+        # the accumulated B=128 step — 2.3 GB for ONE pool-backward temp);
+        # BN stats/normalisation still run in f32 inside the fusion
+        x = jax.nn.relu(L.conv2d(conv, x, dtype=dtype, out_dtype=dtype))
         if train and frame_mask is not None:
-            # masked batch statistics over valid frames
-            m = frame_mask[:, None, None, None].astype(x.dtype)
+            # masked batch statistics over valid frames (f32)
+            xf = x.astype(jnp.float32)
+            m = frame_mask[:, None, None, None].astype(jnp.float32)
             denom = jnp.maximum(m.sum() * x.shape[1] * x.shape[2], 1.0)
-            mean = (x * m).sum(axis=(0, 1, 2)) / denom
-            var = (((x - mean) ** 2) * m).sum(axis=(0, 1, 2)) / denom
+            mean = (xf * m).sum(axis=(0, 1, 2)) / denom
+            var = (((xf - mean) ** 2) * m).sum(axis=(0, 1, 2)) / denom
             momentum = 0.1
             new_bn_state.append({
                 "mean": (1 - momentum) * bn_s["mean"] + momentum * mean,
                 "var": (1 - momentum) * bn_s["var"] + momentum * var,
                 "count": bn_s["count"] + 1,
             })
-            x = (x - mean) * jax.lax.rsqrt(var + 1e-5) * bn["scale"] + bn["bias"]
+            x = ((xf - mean) * jax.lax.rsqrt(var + 1e-5) * bn["scale"]
+                 + bn["bias"]).astype(x.dtype)
         else:
             x, s2 = L.batchnorm(bn, bn_s, x, train=False)
             new_bn_state.append(s2)

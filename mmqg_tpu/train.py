@@ -78,38 +78,93 @@ def batch_arrays(batch: Batch) -> Dict[str, np.ndarray]:
 
 def make_train_step(mc: qg_model.ModelConfig, optimizer, *,
                     use_pallas: bool = True, dtype=jnp.bfloat16,
-                    audio_cap=None, frames_cap=None):
+                    audio_cap=None, frames_cap=None, accum_steps: int = 1):
     """``audio_cap``/``frames_cap``: static AV-length buckets (see
     qg_model.loss_fn) — the encoders skip guaranteed-padding slots whose
-    gradients are identically zero. One compiled variant per bucket pair."""
-    @partial(jax.jit, donate_argnums=(0,))
-    def train_step(train_state, batch, rng):
-        def lf(params):
-            return qg_model.loss_fn(
-                params, train_state["model_state"], mc, batch, train=True,
-                dropout_rng=rng, use_pallas=use_pallas, dtype=dtype,
-                audio_cap=audio_cap, frames_cap=frames_cap)
+    gradients are identically zero. One compiled variant per bucket pair.
 
-        (objective, aux), grads = jax.value_and_grad(lf, has_aux=True)(
-            train_state["params"])
+    ``accum_steps``: gradient accumulation — the batch's leading dim splits
+    into ``accum_steps`` microbatches scanned sequentially, gradients
+    averaged with per-microbatch valid-sample weights, ONE optimizer update.
+    Identical to the full-batch step wherever the model has no batch-stat
+    coupling (exact in text mode, tested); with BatchNorm encoders the
+    usual accumulation caveat applies (per-micro batch stats). Use when the
+    full batch exceeds a compile/memory ceiling — this backend's remote
+    compiler rejects the trimodal step at B=128, but B=64 x 2 accumulated
+    compiles and runs (PERF.md training table)."""
+    def grads_and_aux(params, model_state, mb, rng_):
+        def lf(p):
+            return qg_model.loss_fn(
+                p, model_state, mc, mb, train=True,
+                dropout_rng=rng_, use_pallas=use_pallas, dtype=dtype,
+                audio_cap=audio_cap, frames_cap=frames_cap)
+        return jax.value_and_grad(lf, has_aux=True)(params)
+
+    def finish(train_state, grads, model_state, metrics):
         updates, opt_state = optimizer.update(
             grads, train_state["opt_state"], train_state["params"])
         params = optax.apply_updates(train_state["params"], updates)
         new_state = {
             "params": params,
-            "model_state": aux["state"],
+            "model_state": model_state,
             "opt_state": opt_state,
             "step": train_state["step"] + 1,
         }
-        metrics = {
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(train_state, batch, rng):
+        (objective, aux), grads = grads_and_aux(
+            train_state["params"], train_state["model_state"], batch, rng)
+        return finish(train_state, grads, aux["state"], {
             "objective": objective,
             "loss": aux["loss_per_sample"],       # reference-style stat
             "loss_per_token": aux["loss_per_token"],
-            "grad_norm": optax.global_norm(grads),
-        }
-        return new_state, metrics
+        })
 
-    return train_step
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step_accum(train_state, batch, rng):
+        A = accum_steps
+
+        def split(x):
+            B = x.shape[0]
+            if B % A:
+                raise ValueError(f"batch {B} not divisible by "
+                                 f"accum_steps {A}")
+            return x.reshape((A, B // A) + x.shape[1:])
+
+        micro = {k: split(v) for k, v in batch.items()}
+        rngs = jax.random.split(rng, A)
+        params = train_state["params"]
+        g0 = jax.tree.map(jnp.zeros_like, params)
+        z = jnp.zeros((), jnp.float32)
+        init = (g0, train_state["model_state"], z, z, z, z, z)
+
+        def body(carry, xs):
+            g_acc, model_state, obj, loss, ce, ntok, n_acc = carry
+            mb, r = xs
+            (obj_i, aux), g = grads_and_aux(params, model_state, mb, r)
+            # full-batch grad = sum_i n_i * g_i / sum_i n_i  (loss_fn
+            # normalises each micro by its own valid count)
+            n = mb["valid"].sum().astype(jnp.float32)
+            g_acc = jax.tree.map(lambda a, b: a + n * b, g_acc, g)
+            return (g_acc, aux["state"], obj + n * obj_i,
+                    loss + n * aux["loss_per_sample"],
+                    ce + aux["loss_per_token"] * aux["n_tokens"],
+                    ntok + aux["n_tokens"], n_acc + n), None
+
+        (g_acc, model_state, obj, loss, ce, ntok, n_acc), _ = lax.scan(
+            body, init, (micro, rngs))
+        n_acc = jnp.maximum(n_acc, 1.0)
+        grads = jax.tree.map(lambda g: g / n_acc, g_acc)
+        return finish(train_state, grads, model_state, {
+            "objective": obj / n_acc,
+            "loss": loss / n_acc,
+            "loss_per_token": ce / jnp.maximum(ntok, 1),
+        })
+
+    return train_step if accum_steps == 1 else train_step_accum
 
 
 def make_validate_step(mc: qg_model.ModelConfig, *, use_pallas: bool = True,
@@ -207,8 +262,10 @@ class Trainer:
                                             self.optimizer)
         if mesh is not None:
             self.train_state = self._place_on_mesh(self.train_state)
+        self.accum_steps = getattr(config, "grad_accum_steps", 1) or 1
         self.train_step = make_train_step(mc, self.optimizer,
-                                          use_pallas=self.use_pallas)
+                                          use_pallas=self.use_pallas,
+                                          accum_steps=self.accum_steps)
         # bucketed variants (quarter-granularity: bounds recompiles to <=16
         # pairs, amortised over epochs) — skip padded AV slots in training
         # just like serving does; gradients are unchanged (loss_fn doc)
@@ -263,7 +320,8 @@ class Trainer:
         if key not in self._bucketed_steps:
             self._bucketed_steps[key] = make_train_step(
                 self.mc, self.optimizer, use_pallas=self.use_pallas,
-                audio_cap=acap, frames_cap=fcap)
+                audio_cap=acap, frames_cap=fcap,
+                accum_steps=self.accum_steps)
         return self._bucketed_steps[key]
 
     def run_epoch(self, epoch: int) -> float:

@@ -10,6 +10,18 @@ import os
 import sys
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# ROOT CAUSE (found via this script, 2026-08-17): XLA:CPU's in-process
+# collective rendezvous (rendezvous.cc) LOG(FATAL)s after a 40 s termination
+# timeout when any of the 8 virtual-device threads is starved — trivially
+# reproduced on this 1-core box by running anything else concurrently, and
+# intermittently by the suite's own compiles. Fix: raise
+# --xla_cpu_collective_call_terminate_timeout_seconds (tests/conftest.py).
+# Set MMQG_REPRO_RAISE_TIMEOUTS=1 to verify the fixed configuration here.
+if os.environ.get("MMQG_REPRO_RAISE_TIMEOUTS"):
+    os.environ["XLA_FLAGS"] += (
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+        " --xla_cpu_collective_timeout_seconds=1200")
 
 import jax
 

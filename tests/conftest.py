@@ -6,8 +6,17 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: the outer env may pin a TPU
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU's in-process collective rendezvous LOG(FATAL)s the whole process
+# ("Fatal Python error"/"Exiting to ensure a consistent program state",
+# rendezvous.cc) if any participant thread is starved past a 40 s default —
+# routine on this 1-core box when compiles or other tests share the core.
+# Raise the termination timeout so starvation degrades to a warning.
+if "collective_call_terminate_timeout" not in flags:
+    flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=300"
+              " --xla_cpu_collective_call_warn_stuck_timeout_seconds=60"
+              " --xla_cpu_collective_timeout_seconds=300")
+os.environ["XLA_FLAGS"] = flags
 
 # the axon sitecustomize registers a TPU backend in every process and wins
 # over the env var, so pin the platform through jax.config as well
@@ -24,14 +33,12 @@ from mmqg_tpu.config import Config  # noqa: E402
 def pytest_collection_modifyitems(config, items):
     """Run the virtual-mesh suite FIRST, the end-to-end suite last.
 
-    XLA:CPU can abort the process (no diagnostic) when mesh-sharded donated
-    train steps run AFTER long single-device compiles in the same process —
-    intermittent, never seen with the mesh tests first or standalone
-    (NOTES_NEXT_ROUND.md "Known flake"; scripts/repro_cpu_mesh_abort.py).
-    An earlier version of this hook only moved test_end_to_end last, which
-    still left ~95 single-device tests ahead of the mesh suite — and the
-    abort recurred there. Mesh tests truly first sidesteps the unsound
-    interleaving while keeping them in-process."""
+    The mesh tests' collectives are the part of the suite vulnerable to
+    XLA:CPU's rendezvous-starvation abort (root cause + real fix: the
+    timeout flags above; history in NOTES_NEXT_ROUND.md "Known flake",
+    repro in scripts/repro_cpu_mesh_abort.py). Running them first — before
+    the box is busy with the long e2e compiles — keeps even the warning
+    path quiet."""
     def key(item):
         path = str(item.fspath)
         if path.endswith("test_parallel.py"):

@@ -1,3 +1,4 @@
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -105,3 +106,81 @@ def test_bucketed_train_step_matches_uncapped(tiny_config, tiny_corpus):
     wa = np.asarray(ts_a["params"]["decoder"]["out"]["w"])
     wb = np.asarray(ts_b["params"]["decoder"]["out"]["w"])
     np.testing.assert_allclose(wa, wb, atol=1e-5, rtol=1e-4)
+
+
+def test_grad_accum_matches_full_batch(tiny_config, tiny_corpus):
+    """accum_steps=2 must reproduce the full-batch step exactly in text mode
+    (no BatchNorm, dropout off): same loss, same updated params."""
+    import jax
+    from mmqg_tpu.train import (batch_arrays, init_train_state,
+                                make_optimizer, make_train_step)
+
+    train_ds = QGDataset(tiny_config, tiny_config.train_file,
+                         load_media=False)
+    emb = np.load(tiny_config.weights_matrix_file).astype(np.float32)
+    mc = qg_model.ModelConfig.from_config(
+        tiny_config, n_vocab=len(train_ds.vocab), mode="text")
+    mc = mc._replace(dropout=0.0)
+    # SGD: the update is linear in the gradient, so tolerances are
+    # meaningful (Adam's step-1 update is ~sign(g) — unstable for g ~ 0)
+    optimizer = make_optimizer(tiny_config.replace(optim="sgd"))
+    ts0 = init_train_state(jax.random.PRNGKey(0), mc, emb, optimizer)
+    ts_host = jax.tree.map(
+        lambda x: np.asarray(x) if hasattr(x, "ndim") else x, ts0)
+    fresh = lambda: jax.tree.map(  # noqa: E731
+        lambda x: jnp.asarray(np.array(x)) if hasattr(x, "ndim") else x,
+        ts_host)
+    batch = batch_arrays(next(train_ds.batches(8)))
+    rng = jax.random.PRNGKey(7)
+
+    step1 = make_train_step(mc, optimizer, use_pallas=False)
+    stepA = make_train_step(mc, optimizer, use_pallas=False, accum_steps=2)
+    new1, m1 = step1(fresh(), batch, rng)
+    newA, mA = stepA(fresh(), batch, rng)
+
+    assert float(m1["loss"]) == pytest.approx(float(mA["loss"]), rel=1e-5)
+    assert float(m1["objective"]) == pytest.approx(
+        float(mA["objective"]), rel=1e-5)
+    for p1, pA in zip(jax.tree.leaves(new1["params"]),
+                      jax.tree.leaves(newA["params"])):
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(pA),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_grad_accum_partial_tail_batch(tiny_config, tiny_corpus):
+    """Accumulation must weight microbatches by their valid counts: a tail
+    batch whose second microbatch is all-padding equals the full-batch
+    step on the same data."""
+    import jax
+    from mmqg_tpu.train import (batch_arrays, init_train_state,
+                                make_optimizer, make_train_step)
+
+    train_ds = QGDataset(tiny_config, tiny_config.train_file,
+                         load_media=False)
+    emb = np.load(tiny_config.weights_matrix_file).astype(np.float32)
+    mc = qg_model.ModelConfig.from_config(
+        tiny_config, n_vocab=len(train_ds.vocab), mode="text")
+    mc = mc._replace(dropout=0.0)
+    optimizer = make_optimizer(tiny_config.replace(optim="sgd"))
+    ts0 = init_train_state(jax.random.PRNGKey(0), mc, emb, optimizer)
+    ts_host = jax.tree.map(
+        lambda x: np.asarray(x) if hasattr(x, "ndim") else x, ts0)
+    fresh = lambda: jax.tree.map(  # noqa: E731
+        lambda x: jnp.asarray(np.array(x)) if hasattr(x, "ndim") else x,
+        ts_host)
+    batch = batch_arrays(next(train_ds.batches(8)))
+    batch = dict(batch)
+    batch["valid"] = batch["valid"].copy()
+    batch["valid"][4:] = False  # second microbatch contributes nothing
+    rng = jax.random.PRNGKey(9)
+
+    step1 = make_train_step(mc, optimizer, use_pallas=False)
+    stepA = make_train_step(mc, optimizer, use_pallas=False, accum_steps=2)
+    new1, m1 = step1(fresh(), batch, rng)
+    newA, mA = stepA(fresh(), batch, rng)
+    assert float(m1["objective"]) == pytest.approx(
+        float(mA["objective"]), rel=1e-5)
+    for p1, pA in zip(jax.tree.leaves(new1["params"]),
+                      jax.tree.leaves(newA["params"])):
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(pA),
+                                   rtol=2e-5, atol=2e-6)
