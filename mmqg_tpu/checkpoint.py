@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
@@ -33,6 +34,20 @@ from flax import serialization
 def _to_host(tree):
     return jax.tree.map(
         lambda x: np.asarray(x) if hasattr(x, "ndim") else x, tree)
+
+
+# One serial writer thread: async saves keep submission order (so a queued
+# "best" then "last" to the same alias can never interleave) and the train
+# loop only pays for the device->host gather, not serialisation + disk.
+_writer = ThreadPoolExecutor(max_workers=1, thread_name_prefix="ckpt")
+_pending: list = []
+
+
+def wait_for_pending() -> None:
+    """Block until all async checkpoint writes have been published; re-raises
+    the first writer error."""
+    while _pending:
+        _pending.pop(0).result()
 
 
 def _orbax_path(ckpt_dir: Path, alias: str) -> Path:
@@ -62,32 +77,54 @@ def _load_orbax(ckpt_dir: Path, alias: str, template: Dict) -> Dict:
 
 def save_checkpoint(ckpt_dir: Path, alias: str, train_state: Dict,
                     metadata: Optional[Dict[str, Any]] = None,
-                    backend: str = "msgpack") -> Path:
+                    backend: str = "msgpack",
+                    async_save: bool = False) -> Path:
     """Write ``<ckpt_dir>/<alias>.msgpack`` or ``<alias>.orbax/``
-    (+ ``<alias>.json`` metadata)."""
+    (+ ``<alias>.json`` metadata).
+
+    ``async_save``: gather the state to host synchronously (cheap), then
+    serialise + write on a background thread — the train loop does not
+    stall on disk. Publication stays atomic (tmp + rename) and ordered
+    (single writer thread). Call ``wait_for_pending()`` before reading the
+    files or exiting."""
     ckpt_dir = Path(ckpt_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
-    if backend == "orbax":
-        path = _save_orbax(ckpt_dir, alias, train_state)
+    host_state = _to_host(train_state)
+
+    def _write_msgpack() -> Path:
+        path = ckpt_dir / f"{alias}.msgpack"
+        # to_state_dict flattens NamedTuples (optax states, AttnParams) into
+        # msgpack-serialisable dicts; from_state_dict rebuilds them on load
+        blob = serialization.msgpack_serialize(
+            serialization.to_state_dict(host_state))
+        tmp = path.with_suffix(".tmp")
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)  # atomic publish
+        _write_meta()
+        return path
+
+    def _write_orbax() -> Path:
+        path = _save_orbax(ckpt_dir, alias, host_state)
+        _write_meta()
+        return path
+
+    def _write_meta() -> None:
         if metadata is not None:
             with open(ckpt_dir / f"{alias}.json", "w") as f:
                 json.dump(metadata, f, indent=2, default=str)
-        return path
-    if backend != "msgpack":
+
+    if backend == "orbax":
+        write = _write_orbax
+    elif backend == "msgpack":
+        write = _write_msgpack
+    else:
         raise ValueError(f"unknown checkpoint backend {backend!r}")
-    path = ckpt_dir / f"{alias}.msgpack"
-    # to_state_dict flattens NamedTuples (optax states, AttnParams) into
-    # msgpack-serialisable dicts; from_state_dict rebuilds them on load
-    blob = serialization.msgpack_serialize(
-        serialization.to_state_dict(_to_host(train_state)))
-    tmp = path.with_suffix(".tmp")
-    with open(tmp, "wb") as f:
-        f.write(blob)
-    os.replace(tmp, path)  # atomic publish
-    if metadata is not None:
-        with open(ckpt_dir / f"{alias}.json", "w") as f:
-            json.dump(metadata, f, indent=2, default=str)
-    return path
+    if async_save:
+        _pending.append(_writer.submit(write))
+        return (ckpt_dir / f"{alias}.msgpack" if backend == "msgpack"
+                else _orbax_path(ckpt_dir, alias))
+    return write()
 
 
 def load_checkpoint(ckpt_dir: Path, alias: str,
@@ -95,6 +132,7 @@ def load_checkpoint(ckpt_dir: Path, alias: str,
     """Restore into the structure of ``template``; returns (state, metadata).
     The backend is auto-detected from what exists on disk (msgpack preferred
     when both are present)."""
+    wait_for_pending()  # never read around an in-flight async write
     ckpt_dir = Path(ckpt_dir)
     mp = ckpt_dir / f"{alias}.msgpack"
     if mp.exists():

@@ -64,10 +64,14 @@ def train_main(argv: Optional[List[str]] = None) -> None:
                                           mode=args.mode, dec=args.decoder)
     mesh = None
     import jax
-    if args.data_parallel and len(jax.devices()) > 1:
-        from mmqg_tpu.parallel import make_mesh
-        mesh = make_mesh()  # all devices on the data axis
-        print(f"data-parallel over {len(jax.devices())} devices")
+    if args.data_parallel:
+        if len(jax.devices()) > 1:
+            from mmqg_tpu.parallel import make_mesh
+            mesh = make_mesh()  # all devices on the data axis
+            print(f"data-parallel over {len(jax.devices())} devices")
+        else:
+            print("warning: --data-parallel requested but only one device "
+                  "is visible; training single-device")
     trainer = Trainer(config, mc, emb, train_ds, val_ds, mesh=mesh,
                       profile_dir=args.profile_dir)
     if args.resume and trainer.resume("last"):

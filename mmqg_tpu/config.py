@@ -96,6 +96,7 @@ class Config:
     grad_clip_norm: float = 0.0      # 0 disables (reference has no clipping)
     grad_accum_steps: int = 1        # microbatches per optimizer update
     checkpoint_backend: str = "msgpack"  # or "orbax" (tensorstore interop)
+    checkpoint_async: bool = False   # write checkpoints off the train thread
     train_av_bucketing: bool = True  # skip padded AV slots in train steps
     beam_size: int = 4
     # audio frontend (VGGish-compatible framing)

@@ -151,6 +151,32 @@ def pad_and_shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 
 # ------------------------------------------------------- sequence parallelism
 
+def sp_greedy_decode(params, model_state, mc, batch, mesh: Mesh, *,
+                     max_len: int = 4, rng_seed: int = 0):
+    """Greedy decode with the text attention memory sharded over the model
+    axis (sequence parallelism). One canonical implementation shared by the
+    CI mesh suite (tests/parallel_cases.py) and the driver's
+    dryrun_multichip so the two cannot diverge; must produce tokens
+    identical to the unsharded ``decode.decode_batch``."""
+    import jax
+    from mmqg_tpu import decode as DEC
+    from mmqg_tpu.models import qg_model
+
+    constrain = sequence_constraint(mesh)
+
+    @jax.jit
+    def encode_sp(params_, state_, b):
+        mem, dec_state, _ = qg_model.encode(params_, state_, mc, b,
+                                            train=False, use_pallas=False)
+        mem = mem._replace(enc_text=constrain(mem.enc_text))
+        return DEC.decode_from_memories(params_, mem, dec_state,
+                                        jax.random.PRNGKey(rng_seed),
+                                        strategy="greedy", max_len=max_len,
+                                        use_pallas=False)
+
+    return encode_sp(params, model_state, batch)
+
+
 def sequence_constraint(mesh: Mesh, axis: str = "model"):
     """Sequence-parallel annotation for attention memories: shards the
     sequence (context/AV) axis of a (B, L, H) tensor over ``axis`` in

@@ -256,13 +256,24 @@ class Trainer:
         self.log = log_fn
         self.mesh = mesh
         self.profile_dir = profile_dir  # perfetto trace of one warm step
+        self._profiled = False
+        self._steps_used = set()        # step fns that have executed once
+        self.accum_steps = getattr(config, "grad_accum_steps", 1) or 1
+        if mesh is not None and self.accum_steps > 1:
+            dp = mesh.devices.shape[0]
+            padded = -(-config.batch_size // dp) * dp
+            if padded % self.accum_steps:
+                raise ValueError(
+                    f"batch_size {config.batch_size} pads to {padded} on the "
+                    f"{dp}-way data axis, which is not divisible by "
+                    f"grad_accum_steps {self.accum_steps}; pick batch_size "
+                    f"so that its data-axis-padded size divides evenly")
         rng = jax.random.PRNGKey(config.seed)
         self.rng, init_rng = jax.random.split(rng)
         self.train_state = init_train_state(init_rng, mc, emb_weights,
                                             self.optimizer)
         if mesh is not None:
             self.train_state = self._place_on_mesh(self.train_state)
-        self.accum_steps = getattr(config, "grad_accum_steps", 1) or 1
         self.train_step = make_train_step(mc, self.optimizer,
                                           use_pallas=self.use_pallas,
                                           accum_steps=self.accum_steps)
@@ -336,17 +347,22 @@ class Trainer:
             if self.mesh is not None:
                 from mmqg_tpu.parallel import pad_and_shard_batch
                 arrays = pad_and_shard_batch(arrays, self.mesh)
-            if self.profile_dir and epoch == self.start_epoch and i == 1:
-                # second batch: past the compile, captures a warm step
+            # profile the first batch whose step variant has ALREADY run
+            # once (so the trace captures a warm step, not a compile — with
+            # AV bucketing batch i=1 may hit a fresh bucket variant)
+            if (self.profile_dir and not self._profiled
+                    and id(step_fn) in self._steps_used):
                 from mmqg_tpu.utils import profiling
                 with profiling.trace(self.profile_dir):
                     with profiling.annotate("train_step"):
                         self.train_state, metrics = step_fn(
                             self.train_state, arrays, step_rng)
                         np.asarray(metrics["loss"])  # sync inside the trace
+                self._profiled = True
             else:
                 self.train_state, metrics = step_fn(
                     self.train_state, arrays, step_rng)
+            self._steps_used.add(id(step_fn))
             total += float(metrics["loss"]) * batch.size
             n += batch.size
         return total / max(n, 1)
@@ -392,6 +408,8 @@ class Trainer:
                 self.save("last", max(last_done, 0))
                 self.write_stats()
             raise
+        finally:
+            ckpt.wait_for_pending()  # async saves must land before return
 
     def _fit_inner(self, epochs: int) -> Tuple[Dict, int]:
         for epoch in range(self.start_epoch, epochs):
@@ -410,6 +428,10 @@ class Trainer:
                 self.best_epoch = epoch
                 self.save("best", epoch)
             self.save("last", epoch)
+        if self.profile_dir and not self._profiled:
+            self.log("warning: --profile-dir set but no warm step was "
+                     "traced (every batch hit a fresh compile — too few "
+                     "batches per bucket)")
         self.write_stats()
         return self.epoch_stats, self.best_epoch
 
@@ -420,7 +442,8 @@ class Trainer:
             metadata={"epoch": epoch, "best_val": self.best_val,
                       "best_epoch": self.best_epoch,
                       "mode": self.mc.mode, "n_vocab": self.mc.n_vocab},
-            backend=getattr(self.config, "checkpoint_backend", "msgpack"))
+            backend=getattr(self.config, "checkpoint_backend", "msgpack"),
+            async_save=getattr(self.config, "checkpoint_async", False))
 
     def resume(self, alias: str = "last") -> bool:
         if not ckpt.has_checkpoint(self.config.checkpoint_dir, alias):

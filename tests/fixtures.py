@@ -71,3 +71,40 @@ def build_tiny_corpus(config, n_questions: int = 12, seed: int = 0) -> Dict:
     info = prepare_data(config, corpus)
     info["corpus"] = corpus
     return info
+
+
+def single_step_setup(config, *, mode="text", optim=None, dropout=None,
+                      batch_size=8):
+    """Common harness for single-train-step tests: returns
+    ``(mc, optimizer, fresh_ts, batch)`` where ``fresh_ts()`` builds a fresh
+    device train state each call (the train step donates its inputs, so a
+    state must never be reused). Used by the grad-accumulation tests and
+    the mesh suite."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmqg_tpu.data.dataset import QGDataset
+    from mmqg_tpu.models import qg_model
+    from mmqg_tpu.train import (batch_arrays, init_train_state,
+                                make_optimizer)
+
+    ds = QGDataset(config, config.train_file, load_media=(mode != "text"))
+    emb = np.load(config.weights_matrix_file).astype(np.float32)
+    mc = qg_model.ModelConfig.from_config(config, n_vocab=len(ds.vocab),
+                                          mode=mode)
+    if dropout is not None:
+        mc = mc._replace(dropout=dropout)
+    if optim is not None:
+        config = config.replace(optim=optim)
+    optimizer = make_optimizer(config)
+    ts0 = init_train_state(jax.random.PRNGKey(0), mc, emb, optimizer)
+    ts_host = jax.tree.map(
+        lambda x: np.asarray(x) if hasattr(x, "ndim") else x, ts0)
+
+    def fresh_ts():
+        return jax.tree.map(
+            lambda x: jnp.asarray(np.array(x)) if hasattr(x, "ndim") else x,
+            ts_host)
+
+    batch = batch_arrays(next(ds.batches(batch_size)))
+    return mc, optimizer, fresh_ts, batch

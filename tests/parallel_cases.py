@@ -91,27 +91,16 @@ def test_tp_sharding_rules_shard_big_matrices(setup):
 def test_sequence_parallel_constraint(setup):
     """Context-axis (sequence-parallel) sharding of attention memories
     compiles and preserves numerics on a (2, 4) mesh."""
-    from mmqg_tpu.parallel.mesh import sequence_constraint
-    from mmqg_tpu.models import qg_model
+    from mmqg_tpu.parallel.mesh import sp_greedy_decode
     from mmqg_tpu import decode as DEC
 
     config, mc, optimizer, fresh_ts, batch = setup
     mesh = make_mesh((2, 4))
     ts = fresh_ts()
-    constrain = sequence_constraint(mesh)
-
-    @jax.jit
-    def encode_sp(params, state, b):
-        mem, dec_state, _ = qg_model.encode(params, state, mc, b,
-                                            train=False, use_pallas=False)
-        mem = mem._replace(enc_text=constrain(mem.enc_text))
-        return DEC.decode_from_memories(params, mem, dec_state,
-                                        jax.random.PRNGKey(0),
-                                        strategy="greedy", max_len=4,
-                                        use_pallas=False)
-
     sbatch = shard_batch(batch, mesh)
-    toks_sp = np.asarray(encode_sp(ts["params"], ts["model_state"], sbatch))
+    toks_sp = np.asarray(sp_greedy_decode(
+        ts["params"], ts["model_state"], mc, sbatch, mesh,
+        max_len=4, rng_seed=0))
 
     toks_ref = np.asarray(DEC.decode_batch(
         ts["params"], ts["model_state"], mc, batch, jax.random.PRNGKey(0),
@@ -147,3 +136,20 @@ def test_trainer_data_parallel_matches_single_device(tiny_config, tiny_corpus):
     val = dp.validate()
     assert np.isfinite(val["loss"])
     assert 0.0 <= val["bleu"] <= 1.0
+
+
+def test_trainer_rejects_indivisible_mesh_accum(tiny_config, tiny_corpus):
+    """batch 12 pads to 16 on an 8-way data axis; accum 3 cannot split it —
+    the Trainer must fail at construction, not at trace time."""
+    from mmqg_tpu.data.dataset import QGDataset
+    from mmqg_tpu.train import Trainer
+
+    train_ds = QGDataset(tiny_config, tiny_config.train_file,
+                         load_media=False)
+    val_ds = QGDataset(tiny_config, tiny_config.val_file, load_media=False)
+    emb = np.load(tiny_config.weights_matrix_file).astype(np.float32)
+    mc = qg_model.ModelConfig.from_config(
+        tiny_config, n_vocab=len(train_ds.vocab), mode="text")
+    cfg = tiny_config.replace(batch_size=12, grad_accum_steps=3)
+    with pytest.raises(ValueError, match="grad_accum_steps"):
+        Trainer(cfg, mc, emb, train_ds, val_ds, mesh=make_mesh((8, 1)))

@@ -55,3 +55,51 @@ def test_msgpack_preferred_when_both_exist(tmp_path, state):
     ckpt.save_checkpoint(tmp_path, "best", state2, backend="msgpack")
     restored, _ = ckpt.load_checkpoint(tmp_path, "best", _zeros_like(state))
     assert int(restored["step"]) == 11
+
+
+def test_async_save_roundtrip(tmp_path):
+    """async_save must publish the same bytes as a sync save, in submission
+    order, and wait_for_pending must drain before reads."""
+    import jax
+    import numpy as np
+    from mmqg_tpu import checkpoint as ckpt
+
+    state = {"params": {"w": np.arange(12, dtype=np.float32).reshape(3, 4)},
+             "step": np.int32(7)}
+    ckpt.save_checkpoint(tmp_path, "a", state, metadata={"epoch": 1},
+                         async_save=True)
+    state2 = {"params": {"w": state["params"]["w"] * 2},
+              "step": np.int32(8)}
+    ckpt.save_checkpoint(tmp_path, "a", state2, metadata={"epoch": 2},
+                         async_save=True)  # later submission must win
+    ckpt.wait_for_pending()
+    tmpl = {"params": {"w": np.zeros((3, 4), np.float32)},
+            "step": np.int32(0)}
+    restored, meta = ckpt.load_checkpoint(tmp_path, "a", tmpl)
+    np.testing.assert_array_equal(restored["params"]["w"],
+                                  state2["params"]["w"])
+    assert int(restored["step"]) == 8
+    assert meta["epoch"] == 2
+
+
+def test_trainer_async_checkpointing(tiny_config, tiny_corpus):
+    """checkpoint_async=True end-to-end: fit() returns with both aliases
+    published and resumable."""
+    import numpy as np
+    from mmqg_tpu.data.dataset import QGDataset
+    from mmqg_tpu.models import qg_model
+    from mmqg_tpu.train import Trainer
+
+    cfg = tiny_config.replace(checkpoint_async=True, epochs=1)
+    train_ds = QGDataset(cfg, cfg.train_file, load_media=False)
+    val_ds = QGDataset(cfg, cfg.val_file, load_media=False)
+    emb = np.load(cfg.weights_matrix_file).astype(np.float32)
+    mc = qg_model.ModelConfig.from_config(
+        cfg, n_vocab=len(train_ds.vocab), mode="text")
+    tr = Trainer(cfg, mc, emb, train_ds, val_ds,
+                 log_fn=lambda *a, **k: None)
+    tr.fit(1)
+    fresh = Trainer(cfg, mc, emb, train_ds, val_ds,
+                    log_fn=lambda *a, **k: None)
+    assert fresh.resume("last")
+    assert fresh.start_epoch == 1

@@ -112,25 +112,13 @@ def test_grad_accum_matches_full_batch(tiny_config, tiny_corpus):
     """accum_steps=2 must reproduce the full-batch step exactly in text mode
     (no BatchNorm, dropout off): same loss, same updated params."""
     import jax
-    from mmqg_tpu.train import (batch_arrays, init_train_state,
-                                make_optimizer, make_train_step)
+    from tests.fixtures import single_step_setup
+    from mmqg_tpu.train import make_train_step
 
-    train_ds = QGDataset(tiny_config, tiny_config.train_file,
-                         load_media=False)
-    emb = np.load(tiny_config.weights_matrix_file).astype(np.float32)
-    mc = qg_model.ModelConfig.from_config(
-        tiny_config, n_vocab=len(train_ds.vocab), mode="text")
-    mc = mc._replace(dropout=0.0)
     # SGD: the update is linear in the gradient, so tolerances are
     # meaningful (Adam's step-1 update is ~sign(g) — unstable for g ~ 0)
-    optimizer = make_optimizer(tiny_config.replace(optim="sgd"))
-    ts0 = init_train_state(jax.random.PRNGKey(0), mc, emb, optimizer)
-    ts_host = jax.tree.map(
-        lambda x: np.asarray(x) if hasattr(x, "ndim") else x, ts0)
-    fresh = lambda: jax.tree.map(  # noqa: E731
-        lambda x: jnp.asarray(np.array(x)) if hasattr(x, "ndim") else x,
-        ts_host)
-    batch = batch_arrays(next(train_ds.batches(8)))
+    mc, optimizer, fresh, batch = single_step_setup(
+        tiny_config, optim="sgd", dropout=0.0)
     rng = jax.random.PRNGKey(7)
 
     step1 = make_train_step(mc, optimizer, use_pallas=False)
@@ -152,23 +140,11 @@ def test_grad_accum_partial_tail_batch(tiny_config, tiny_corpus):
     batch whose second microbatch is all-padding equals the full-batch
     step on the same data."""
     import jax
-    from mmqg_tpu.train import (batch_arrays, init_train_state,
-                                make_optimizer, make_train_step)
+    from tests.fixtures import single_step_setup
+    from mmqg_tpu.train import make_train_step
 
-    train_ds = QGDataset(tiny_config, tiny_config.train_file,
-                         load_media=False)
-    emb = np.load(tiny_config.weights_matrix_file).astype(np.float32)
-    mc = qg_model.ModelConfig.from_config(
-        tiny_config, n_vocab=len(train_ds.vocab), mode="text")
-    mc = mc._replace(dropout=0.0)
-    optimizer = make_optimizer(tiny_config.replace(optim="sgd"))
-    ts0 = init_train_state(jax.random.PRNGKey(0), mc, emb, optimizer)
-    ts_host = jax.tree.map(
-        lambda x: np.asarray(x) if hasattr(x, "ndim") else x, ts0)
-    fresh = lambda: jax.tree.map(  # noqa: E731
-        lambda x: jnp.asarray(np.array(x)) if hasattr(x, "ndim") else x,
-        ts_host)
-    batch = batch_arrays(next(train_ds.batches(8)))
+    mc, optimizer, fresh, batch = single_step_setup(
+        tiny_config, optim="sgd", dropout=0.0)
     batch = dict(batch)
     batch["valid"] = batch["valid"].copy()
     batch["valid"][4:] = False  # second microbatch contributes nothing
