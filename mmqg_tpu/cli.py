@@ -35,6 +35,11 @@ def train_main(argv: Optional[List[str]] = None) -> None:
                         help="shard training over all devices "
                              "(data axis of a (data, model) mesh); "
                              "gradients all-reduce over ICI")
+    parser.add_argument("--streaming", action="store_true",
+                        help="stream batches from disk (double-buffered "
+                             "C++ pack pool) instead of materialising the "
+                             "corpus in host RAM — for corpora larger than "
+                             "memory")
     parser.add_argument("--grad-accum", type=int, default=None,
                         help="gradient-accumulation microbatches per "
                              "optimizer update (overrides config "
@@ -57,8 +62,17 @@ def train_main(argv: Optional[List[str]] = None) -> None:
         config = config.replace(grad_accum_steps=args.grad_accum)
     config.ensure_dirs()
     load_media = args.mode != "text"
-    train_ds = QGDataset(config, config.train_file, load_media=load_media)
-    val_ds = QGDataset(config, config.val_file, load_media=load_media)
+    if args.streaming:
+        from mmqg_tpu.data.streaming import StreamingLoader
+        train_ds = StreamingLoader(config, config.train_file,
+                                   batch_size=config.batch_size,
+                                   load_media=load_media)
+        val_ds = StreamingLoader(config, config.val_file,
+                                 batch_size=config.eval_batch_size,
+                                 load_media=load_media)
+    else:
+        train_ds = QGDataset(config, config.train_file, load_media=load_media)
+        val_ds = QGDataset(config, config.val_file, load_media=load_media)
     emb = np.load(config.weights_matrix_file).astype(np.float32)
     mc = qg_model.ModelConfig.from_config(config, n_vocab=len(train_ds.vocab),
                                           mode=args.mode, dec=args.decoder)

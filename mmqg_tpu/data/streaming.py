@@ -138,14 +138,27 @@ class StreamingLoader:
     def __len__(self) -> int:
         return len(self.records)
 
-    def batches(self, shuffle: bool = False,
-                rng: Optional[np.random.Generator] = None) -> Iterator[Batch]:
+    def batches(self, batch_size: Optional[int] = None,
+                shuffle: bool = False,
+                rng: Optional[np.random.Generator] = None,
+                drop_last: bool = False) -> Iterator[Batch]:
         """Yield fixed-shape batches with pack(N+1) overlapping consume(N).
+
+        Signature-compatible with ``QGDataset.batches`` so a
+        ``StreamingLoader`` drops into the ``Trainer`` for corpora larger
+        than host RAM; ``batch_size`` (if given) must match the loader's.
 
         LIFETIME: the media arrays of a yielded Batch alias one of two
         rotating buffers and are overwritten two iterations later — consume
         (ship to device) each batch before advancing twice; don't collect
         batches into a list."""
+        if batch_size is not None and batch_size != self.batch_size:
+            raise ValueError(
+                f"batch_size {batch_size} != loader batch_size "
+                f"{self.batch_size} (fixed at construction: the rotating "
+                f"pack buffers are pre-allocated)")
+        if drop_last:
+            raise NotImplementedError("StreamingLoader always pads the tail")
         idx = np.arange(len(self.records))
         if shuffle:
             (rng or np.random.default_rng(self.config.seed)).shuffle(idx)

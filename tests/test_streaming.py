@@ -46,3 +46,38 @@ def test_buffers_rotate_not_alias(tiny_config, tiny_corpus):
     b1 = next(it)
     assert b0.frames is not b1.frames
     assert b0.audio_pcm is not b1.audio_pcm
+
+
+def test_trainer_accepts_streaming_loader(tiny_config, tiny_corpus):
+    """The StreamingLoader drops into the Trainer (large-corpus training):
+    one epoch over the streamed corpus must match the eager QGDataset's
+    epoch loss exactly (same data, same shuffle order)."""
+    import numpy as np
+    from mmqg_tpu.data.dataset import QGDataset
+    from mmqg_tpu.data.streaming import StreamingLoader
+    from mmqg_tpu.models import qg_model
+    from mmqg_tpu.train import Trainer
+
+    emb = np.load(tiny_config.weights_matrix_file).astype(np.float32)
+
+    def build(ds_cls):
+        if ds_cls is QGDataset:
+            tr = QGDataset(tiny_config, tiny_config.train_file)
+            va = QGDataset(tiny_config, tiny_config.val_file)
+        else:
+            tr = StreamingLoader(tiny_config, tiny_config.train_file,
+                                 batch_size=tiny_config.batch_size)
+            va = StreamingLoader(tiny_config, tiny_config.val_file,
+                                 batch_size=tiny_config.eval_batch_size)
+        mc = qg_model.ModelConfig.from_config(
+            tiny_config, n_vocab=len(tr.vocab), mode="trimodal")
+        return Trainer(tiny_config, mc, emb, tr, va,
+                       log_fn=lambda *a, **k: None)
+
+    loss_eager = build(QGDataset).run_epoch(0)
+    tr_stream = build(StreamingLoader)
+    loss_stream = tr_stream.run_epoch(0)
+    assert loss_eager == pytest.approx(loss_stream, rel=1e-5)
+
+    val = tr_stream.validate()
+    assert np.isfinite(val["loss"])
