@@ -1,0 +1,159 @@
+"""JSONL serving daemon: stdin requests -> micro-batched decode -> stdout.
+
+The reference had no serving story at all (its evaluate.py was a test-set
+batch job, reference evaluate.py:129-229); ``QGPipeline`` is the Python
+API, and this daemon is the process-level surface: newline-delimited JSON
+requests on stdin, responses on stdout, with dynamic micro-batching — a
+request waits at most ``--linger-ms`` for companions, then the whole bucket
+decodes as ONE fixed-shape TPU batch (the jit programs are shared with the
+evaluate CLI, so the first request pays the compile and the rest are hot).
+
+Request:  {"id": <any>, "context": "...", "frames_npy": "path.npy"?,
+           "audio_wav": "path.wav"?}
+Response: {"id": <any>, "question": "...", "batch_size": N,
+           "latency_ms": F}   (or {"id", "error"} per bad request)
+
+Usage:
+  python -m mmqg_tpu.serve -c results/config.json --best -s beam \
+      --mode trimodal --max-batch 32 --linger-ms 25
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import queue
+import sys
+import threading
+import time
+from typing import List, Optional
+
+import numpy as np
+
+
+def _load_media(req: dict, sample_rate: int):
+    frames = audio = None
+    if req.get("frames_npy"):
+        frames = np.load(req["frames_npy"])
+    if req.get("audio_wav"):
+        from mmqg_tpu.data import wav as wavio
+        audio = wavio.load_mono_16k(req["audio_wav"],
+                                    target_rate=sample_rate)
+    return frames, audio
+
+
+def serve(pipe, *, strategy: str, max_batch: int, linger_ms: float,
+          inp=None, out=None) -> int:
+    """Run the serve loop until EOF on ``inp``; returns requests served."""
+    inp = inp if inp is not None else sys.stdin
+    out = out if out is not None else sys.stdout
+    q: "queue.Queue[Optional[dict]]" = queue.Queue()
+
+    def reader():
+        for line in inp:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                q.put(json.loads(line))
+            except json.JSONDecodeError as e:
+                q.put({"_parse_error": str(e)})
+        q.put(None)  # EOF sentinel
+
+    threading.Thread(target=reader, daemon=True).start()
+    served = 0
+    done = False
+    while not done:
+        # block for the first request, then linger for companions
+        first = q.get()
+        if first is None:
+            break
+        pending: List[dict] = [first]
+        deadline = time.monotonic() + linger_ms / 1000.0
+        while len(pending) < max_batch:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                nxt = q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if nxt is None:
+                done = True
+                break
+            pending.append(nxt)
+
+        t0 = time.monotonic()
+        contexts, frames, audio, ids, errs = [], [], [], [], {}
+        for i, req in enumerate(pending):
+            try:
+                if "_parse_error" in req:
+                    raise ValueError(req["_parse_error"])
+                f, a = _load_media(req, pipe.mc.sample_rate)
+                contexts.append(req.get("context", ""))
+                frames.append(f)
+                audio.append(a)
+                ids.append(req.get("id"))
+            except Exception as e:  # bad request must not kill the batch
+                errs[i] = (req.get("id") if isinstance(req, dict) else None,
+                           str(e))
+        if contexts:
+            questions = pipe.generate(contexts, frames, audio,
+                                      strategy=strategy)
+        else:
+            questions = []
+        ms = (time.monotonic() - t0) * 1000.0
+        for rid, question in zip(ids, questions):
+            out.write(json.dumps({"id": rid, "question": question,
+                                  "batch_size": len(contexts),
+                                  "latency_ms": round(ms, 1)}) + "\n")
+        for rid, err in errs.values():
+            out.write(json.dumps({"id": rid, "error": err}) + "\n")
+        out.flush()
+        served += len(pending)
+    return served
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="JSONL QG serving daemon")
+    parser.add_argument("-c", "--config_path", type=str, required=True)
+    parser.add_argument("-b", "--best", action="store_true")
+    parser.add_argument("-l", "--last", action="store_true")
+    parser.add_argument("-s", "--strategy", type=str, default="beam",
+                        choices=["greedy", "sampling", "topk", "beam"])
+    parser.add_argument("--mode", type=str, default="trimodal",
+                        choices=["text", "text_video", "trimodal"])
+    parser.add_argument("--decoder", type=str, default="attn",
+                        choices=["attn", "non_attn"])
+    parser.add_argument("--max-batch", type=int, default=32)
+    parser.add_argument("--linger-ms", type=float, default=25.0)
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard serving over all devices (QGPipeline."
+                             "shard); each chip decodes its slice")
+    args = parser.parse_args(argv)
+
+    from mmqg_tpu.config import Config
+    from mmqg_tpu.pipeline import QGPipeline
+
+    config = Config.load(args.config_path)
+    alias = "last" if args.last and not args.best else "best"
+    pipe = QGPipeline.from_checkpoint(config, alias=alias, mode=args.mode,
+                                      decoder=args.decoder)
+    if args.data_parallel:
+        import jax
+        if len(jax.devices()) > 1:
+            pipe = pipe.shard()
+            print(f"serving data-parallel over {len(jax.devices())} devices",
+                  file=sys.stderr)
+        else:
+            print("warning: --data-parallel requested but only one device "
+                  "is visible", file=sys.stderr)
+    print(f"ready alias={alias} strategy={args.strategy} "
+          f"max_batch={args.max_batch}", file=sys.stderr, flush=True)
+    n = serve(pipe, strategy=args.strategy, max_batch=args.max_batch,
+              linger_ms=args.linger_ms)
+    print(f"served {n} requests", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

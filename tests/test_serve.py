@@ -1,0 +1,70 @@
+"""Serving daemon: JSONL in -> micro-batched decode -> JSONL out."""
+
+import io
+import json
+
+import numpy as np
+import pytest
+
+from mmqg_tpu.data.dataset import QGDataset
+from mmqg_tpu.models import qg_model
+from mmqg_tpu.pipeline import QGPipeline
+from mmqg_tpu.serve import serve
+from mmqg_tpu.train import Trainer
+
+
+@pytest.fixture(scope="module")
+def served_pipe(tiny_config, tiny_corpus, tmp_path_factory):
+    cfg = tiny_config.replace(
+        output_path=tmp_path_factory.mktemp("serve") / "results", lr=5e-3)
+    cfg.ensure_dirs()
+    train_ds = QGDataset(cfg, cfg.train_file)
+    val_ds = QGDataset(cfg, cfg.val_file)
+    emb = np.load(cfg.weights_matrix_file).astype(np.float32)
+    mc = qg_model.ModelConfig.from_config(cfg, n_vocab=len(train_ds.vocab),
+                                          mode="trimodal")
+    Trainer(cfg, mc, emb, train_ds, val_ds, log_fn=lambda *a: None).fit(1)
+    return QGPipeline.from_checkpoint(cfg, alias="best"), cfg
+
+
+def test_serve_batches_and_answers(served_pipe, tmp_path):
+    pipe, cfg = served_pipe
+    rng = np.random.RandomState(0)
+    frames_path = tmp_path / "f.npy"
+    np.save(frames_path, rng.randint(
+        0, 256, (2, cfg.frame_size, cfg.frame_size, 3), np.uint8))
+    from mmqg_tpu.data import wav as wavio
+    wav_path = tmp_path / "a.wav"
+    wavio.write_wav(wav_path, (rng.randn(cfg.audio_sample_rate) * 3000)
+                    .astype(np.int16), cfg.audio_sample_rate)
+
+    reqs = [
+        {"id": 1, "context": "what is the process of the system",
+         "frames_npy": str(frames_path), "audio_wav": str(wav_path)},
+        {"id": "two", "context": "the value of the function is the result"},
+        {"id": 3, "context": "bad media", "frames_npy": "/nonexistent.npy"},
+    ]
+    inp = io.StringIO("\n".join(json.dumps(r) for r in reqs) + "\n")
+    out = io.StringIO()
+    n = serve(pipe, strategy="greedy", max_batch=8, linger_ms=200,
+              inp=inp, out=out)
+    assert n == 3
+    responses = [json.loads(l) for l in out.getvalue().splitlines()]
+    by_id = {r["id"]: r for r in responses}
+    assert isinstance(by_id[1]["question"], str)
+    assert isinstance(by_id["two"]["question"], str)
+    assert by_id[1]["batch_size"] == 2       # bad request excluded
+    assert "error" in by_id[3]
+    assert by_id[1]["latency_ms"] > 0
+
+
+def test_serve_malformed_line(served_pipe):
+    pipe, cfg = served_pipe
+    inp = io.StringIO('{"id": 1, "context": "what is the value"}\nnot json\n')
+    out = io.StringIO()
+    n = serve(pipe, strategy="greedy", max_batch=8, linger_ms=200,
+              inp=inp, out=out)
+    assert n == 2
+    responses = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert any("question" in r for r in responses)
+    assert any("error" in r for r in responses)
