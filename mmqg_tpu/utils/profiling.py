@@ -74,3 +74,36 @@ class StepTimer:
         import numpy as np
 
         return float(np.median(self.samples)) if self.samples else float("nan")
+
+
+def param_mem_mb(tree) -> float:
+    """Parameter/buffer memory of a pytree in MB — the reference's
+    ``get_mem_usage`` (reference train.py:49-53, call sites commented out at
+    train.py:295-297) rebuilt for pytrees."""
+    total = 0
+    for leaf in jax.tree.leaves(tree):
+        if hasattr(leaf, "nbytes"):
+            total += leaf.nbytes
+        elif hasattr(leaf, "size") and hasattr(leaf, "dtype"):
+            total += leaf.size * leaf.dtype.itemsize
+    return total / (1024 * 1024)
+
+
+def device_memory_report() -> dict:
+    """Per-device live-buffer usage in MB (HBM on TPU). Complements
+    ``param_mem_mb``: this is what is actually resident, including
+    activations and donated buffers not yet freed."""
+    report = {}
+    for d in jax.devices():
+        try:
+            stats = d.memory_stats()
+            report[str(d)] = {
+                "bytes_in_use_mb": stats.get("bytes_in_use", 0) / 1e6,
+                "peak_bytes_mb": stats.get("peak_bytes_in_use", 0) / 1e6,
+            }
+        except Exception:
+            # backends without memory_stats (e.g. CPU): count live buffers
+            live = sum(b.nbytes for b in d.client.live_buffers()
+                       if b.device() == d) if hasattr(d, "client") else 0
+            report[str(d)] = {"bytes_in_use_mb": live / 1e6}
+    return report

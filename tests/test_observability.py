@@ -1,6 +1,7 @@
 import json
 
 import numpy as np
+import pytest
 
 from mmqg_tpu.utils import audit, plotting
 
@@ -61,3 +62,20 @@ def test_trainer_profile_dir_writes_trace(tiny_config, tiny_corpus, tmp_path):
     tr.run_epoch(0)
     dumped = list((tmp_path / "trace").rglob("*"))
     assert any(f.is_file() for f in dumped), dumped
+
+
+def test_param_mem_and_device_memory_report():
+    """Parity with the reference's get_mem_usage (train.py:49-53) plus the
+    live-buffer report."""
+    import numpy as np
+    from mmqg_tpu.utils import profiling
+
+    tree = {"a": np.zeros((1024, 1024), np.float32),  # 4 MB
+            "b": [np.zeros((512,), np.float32)]}
+    mb = profiling.param_mem_mb(tree)
+    assert mb == pytest.approx(4.0 + 512 * 4 / 1024 / 1024)
+
+    report = profiling.device_memory_report()
+    assert len(report) >= 1
+    for stats in report.values():
+        assert "bytes_in_use_mb" in stats
