@@ -104,12 +104,20 @@ def main() -> None:
 
     qps = batch / per_batch
     baseline = _load_baseline()
+    p50_ms = round(1000 * float(np.median(lat)), 1)
     result = {
         "metric": "questions/sec/chip end-to-end (preproc+decode)",
         "value": round(qps, 2),
         "unit": "questions/sec/chip",
         "vs_baseline": round(qps / baseline, 2),
-        "p50_batch_latency_ms": round(1000 * float(np.median(lat)), 1),
+        "p50_batch_latency_ms": p50_ms,
+        # the north-star's "p50 per-video latency" (BASELINE.json), under
+        # this bench's scope: inputs staged in HBM, full fixed batch (a
+        # video's question decodes within its batch, so per-video p50 ==
+        # batch p50). Host-side input transfer is reported separately in
+        # h2d_mb_per_s (module doc: the tunnel is not the framework), and
+        # serve.py batching wait adds at most --linger-ms.
+        "p50_per_video_staged_ms": p50_ms,
         "h2d_mb_per_s": round(h2d_mb_s, 1),
         "batch_mb": round(n_bytes / 1e6, 1),
     }
