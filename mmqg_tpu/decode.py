@@ -133,7 +133,10 @@ def decode_from_memories(
                                                 train=False)
         nxt = _select_token(strategy, logits, jax.random.fold_in(rng, t), k)
         nxt = jnp.where(finished, PAD_ID, nxt)
-        new_finished = finished | (nxt == END_ID)
+        # PAD is terminal too: hosts truncate at the first PAD/END
+        # (tokens_to_words), so anything generated past an emitted PAD
+        # would be invisible — stop the sample there
+        new_finished = finished | (nxt == END_ID) | (nxt == PAD_ID)
         return (new_state, nxt, new_finished), nxt
 
     init = (dec_state, jnp.full((B,), START_ID, jnp.int32),
@@ -163,11 +166,7 @@ def decode_batch(
     ``audio_cap``/``frames_cap``: AV-length buckets; pass them when the batch
     lives on device already (computing from device arrays costs a host sync)
     — loaders know them for free from host metadata."""
-    has_av = mc.mode in ("text_video", "trimodal")
-    cap = (audio_cap if audio_cap is not None else
-           (audio_bucket(mc, batch["audio_len"]) if mc.mode == "trimodal" else None))
-    fcap = (frames_cap if frames_cap is not None else
-            (frames_bucket(mc, batch["frames_len"]) if has_av else None))
+    cap, fcap = _caps(mc, batch, audio_cap, frames_cap)
     mem, dec_state = encode_jit(params, state, mc, batch, use_pallas, cap, fcap)
     return decode_from_memories(params, mem, dec_state, rng,
                                 strategy=strategy, max_len=max_len, k=k,
@@ -271,7 +270,10 @@ def beam_from_memories(
         was_finished = jnp.take_along_axis(finished, beam_idx, axis=1)
         new_lengths = jnp.take_along_axis(lengths, beam_idx, axis=1)
         new_lengths = jnp.where(was_finished, new_lengths, new_lengths + 1)
-        new_finished = was_finished | (tok_idx == END_ID)
+        # PAD emitted by a LIVE beam is terminal (hosts truncate at the
+        # first PAD/END, so suffix tokens/scores past it would score a
+        # string the caller never sees)
+        new_finished = was_finished | (tok_idx == END_ID) | (tok_idx == PAD_ID)
         return (new_dec, tok_idx.reshape(-1), new_scores, new_tokens,
                 new_finished, new_lengths), None
 
@@ -299,11 +301,7 @@ def beam_decode_batch(
 ) -> jnp.ndarray:
     """Length-normalised beam search. Returns best-beam tokens (B, max_len).
     Two-program composition (see encode_jit docstring)."""
-    has_av = mc.mode in ("text_video", "trimodal")
-    cap = (audio_cap if audio_cap is not None else
-           (audio_bucket(mc, batch["audio_len"]) if mc.mode == "trimodal" else None))
-    fcap = (frames_cap if frames_cap is not None else
-            (frames_bucket(mc, batch["frames_len"]) if has_av else None))
+    cap, fcap = _caps(mc, batch, audio_cap, frames_cap)
     mem, dec_state = encode_jit(params, state, mc, batch, use_pallas, cap, fcap)
     return beam_from_memories(params, mem, dec_state, max_len=max_len,
                               beam_size=beam_size,
@@ -311,9 +309,23 @@ def beam_decode_batch(
                               use_pallas=use_pallas, dec_kind=mc.decoder)
 
 
+def _caps(mc: qg_model.ModelConfig, batch: Dict[str, jnp.ndarray],
+          audio_cap: Optional[int], frames_cap: Optional[int]):
+    """Resolve the (audio, frames) bucket caps for a batch — one policy for
+    greedy/sampling and beam decode."""
+    has_av = mc.mode in ("text_video", "trimodal")
+    cap = (audio_cap if audio_cap is not None else
+           (audio_bucket(mc, batch["audio_len"])
+            if mc.mode == "trimodal" else None))
+    fcap = (frames_cap if frames_cap is not None else
+            (frames_bucket(mc, batch["frames_len"]) if has_av else None))
+    return cap, fcap
+
+
 def tokens_to_words(tokens, index_to_word: Dict[str, str]) -> List[List[str]]:
     """Host-side id->word conversion, trimming at <end>/<pad>
-    (reference evaluate.py:79,101-103 semantics)."""
+    (reference evaluate.py:79,101-103 semantics). THE stop-token contract —
+    evaluate/pipeline/train all route through here."""
     out = []
     import numpy as np
     for row in np.asarray(tokens):

@@ -24,7 +24,7 @@ from mmqg_tpu import decode as DEC
 from mmqg_tpu import metrics as M
 from mmqg_tpu.config import Config
 from mmqg_tpu.data.dataset import QGDataset
-from mmqg_tpu.data.vocab import END_ID, PAD_ID
+
 from mmqg_tpu.models import qg_model
 from mmqg_tpu.train import batch_arrays, init_train_state, make_optimizer
 
@@ -75,16 +75,12 @@ def evaluate(
                 params, model_state, mc, arrays, k, strategy=strategy,
                 max_len=pred_max_len, k=topk, use_pallas=use_pallas,
                 audio_cap=cap, frames_cap=fcap)
-        toks = np.asarray(toks)
-        for row, q, qid, ok in zip(toks, batch.questions, batch.question_id,
-                                   batch.valid):
+        word_rows = DEC.tokens_to_words(np.asarray(toks),
+                                        dataset.index_to_word)
+        for words, q, qid, ok in zip(word_rows, batch.questions,
+                                     batch.question_id, batch.valid):
             if not ok:
                 continue
-            words = []
-            for t in row:
-                if t in (PAD_ID, END_ID):
-                    break
-                words.append(dataset.index_to_word[str(int(t))])
             suite = M.bleu_suite(q, words, compat=compat_bleu)
             for key, v in suite.items():
                 sums[key] += v

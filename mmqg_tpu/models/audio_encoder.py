@@ -120,6 +120,12 @@ def embed_examples_int8(params: Dict, mel: jnp.ndarray, *,
     per-layer scales: no per-layer max pass, quantization fuses into the
     previous conv's epilogue, activations saturate at the calibrated max.
 
+    The weight quantize (abs-max + round over ~19 MB) re-runs per call —
+    params are traced jit args, so XLA cannot fold it — but it is pure
+    bandwidth: ~0.1 ms against the ~69 ms conv stack at B=128. Caching wq
+    would mean carrying int8 shadows in the params pytree (breaking the
+    checkpoint/grad template); deliberately not done.
+
     Serving-only (no VJP path needed — training always uses
     ``embed_examples``).
     """

@@ -268,9 +268,13 @@ def batchnorm(params: Params, state: Params, x: jnp.ndarray, *, train: bool,
         axes = tuple(range(x.ndim - 1))
         mean = jnp.mean(xf, axes)
         var = jnp.var(xf, axes)
+        # torch updates running_var with the UNBIASED variance (n/(n-1))
+        # while normalising with the biased one — match both
+        n = float(math.prod(x.shape[:-1]))
+        var_unbiased = var * (n / max(n - 1.0, 1.0))
         new_state = {
             "mean": (1 - momentum) * state["mean"] + momentum * mean,
-            "var": (1 - momentum) * state["var"] + momentum * var,
+            "var": (1 - momentum) * state["var"] + momentum * var_unbiased,
             "count": state["count"] + 1,
         }
     else:

@@ -191,9 +191,13 @@ def encode(
                 params["video_enc"], state["video_enc"], prepared,
                 frames_len, train=train, use_pallas=use_pallas,
                 dtype=dtype)
-        if fcap < mc.av_max_length:
+        if enc_video.shape[1] < mc.av_max_length:
+            # pad by the ACTUAL encoded length, not fcap: a caller may ship a
+            # frames buffer shorter than the bucket (external loaders), in
+            # which case no trim happened above and enc_video.shape[1] < fcap
             enc_video = jnp.pad(
-                enc_video, ((0, 0), (0, mc.av_max_length - fcap), (0, 0)))
+                enc_video,
+                ((0, 0), (0, mc.av_max_length - enc_video.shape[1]), (0, 0)))
         new_state["video_enc"] = vstate
         video_len = frames_len  # capped: attention must not see beyond fcap
     else:
@@ -281,9 +285,13 @@ def loss_fn(
     start = jnp.full((B, 1), START_ID, target.dtype)
     dec_inputs = jnp.concatenate([start, target[:, :-1]], axis=1)
 
-    # The Pallas kernels are forward-only (no custom VJP yet); this function
-    # is what jax.grad differentiates, so it always takes the XLA path —
-    # inference (encode_jit / decode) gets the kernels.
+    # This function is what jax.grad differentiates, and it deliberately
+    # always takes the XLA path: the inference kernels (lstm_pallas,
+    # attention_pallas) are forward-only, and the TRAINABLE Pallas LSTM that
+    # does exist (ops/lstm_train_pallas.py, custom-VJP fused BPTT) measured
+    # equal to the XLA scan at reference scale (both per-step latency-bound;
+    # PERF.md "Kernel notes") — it is kept as the documented path for larger
+    # hidden sizes where weight re-streaming dominates, not wired here.
     use_pallas = False
 
     mem, dec_state, new_state = encode(

@@ -68,9 +68,14 @@ def apply(
     def body(carry, inp):
         (h, c, lh, lc) = carry
         x_t, t = inp
+        # fold the step index into the dropout rng: every timestep must get
+        # an independent between-layer mask (torch per-step dropout; the
+        # decoder scan does the same, decoder.py teacher_forced_logits)
+        step_rng = (jax.random.fold_in(dropout_rng, t)
+                    if dropout_rng is not None else None)
         top, (h2, c2) = L.lstm_step(lstm, x_t, (h, c),
                                     dropout_rate=dropout,
-                                    dropout_rng=dropout_rng, train=train,
+                                    dropout_rng=step_rng, train=train,
                                     dtype=dtype)
         is_last = (context_len - 1 == t)[None, :, None]      # (1, B, 1)
         lh = jnp.where(is_last, h2, lh)

@@ -25,7 +25,7 @@ import numpy as np
 
 from mmqg_tpu import checkpoint as ckpt
 from mmqg_tpu import decode as DEC
-from mmqg_tpu.data.vocab import END_ID, PAD_ID, pad_to
+from mmqg_tpu.data.vocab import pad_to
 from mmqg_tpu.models import qg_model
 
 
@@ -152,15 +152,8 @@ class QGPipeline:
         return self
 
     def _to_words(self, tokens: np.ndarray) -> List[str]:
-        out = []
-        for row in np.asarray(tokens):
-            words = []
-            for t in row:
-                if t in (PAD_ID, END_ID):
-                    break
-                words.append(self.index_to_word[str(int(t))])
-            out.append(" ".join(words))
-        return out
+        return [" ".join(ws) for ws in
+                DEC.tokens_to_words(np.asarray(tokens), self.index_to_word)]
 
     # ----------------------------------------------------------- serving
     def generate(

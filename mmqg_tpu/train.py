@@ -221,18 +221,14 @@ def evaluate_bleu(tokens: np.ndarray, questions, index_to_word,
                   compat: bool = False) -> Tuple[Dict[str, float], int]:
     """Host-side BLEU suite over a batch of decoded tokens.
     Returns (per-metric averages, number of scored samples)."""
+    from mmqg_tpu.decode import tokens_to_words
+
     sums = {k: 0.0 for k in M.BLEU_WEIGHTS}
     n = 0
-    for row, q, ok in zip(np.asarray(tokens), questions, valid):
+    word_rows = tokens_to_words(np.asarray(tokens), index_to_word)
+    for words, q, ok in zip(word_rows, questions, valid):
         if not ok:
             continue
-        words = []
-        for t in row:
-            if t == PAD_ID:
-                break
-            if t == END_ID:
-                break
-            words.append(index_to_word[str(int(t))])
         suite = M.bleu_suite(q, words, compat=compat)
         for k, v in suite.items():
             sums[k] += v

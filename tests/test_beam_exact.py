@@ -49,7 +49,11 @@ def _brute_force_best(params, mc, mem, dec_state, b, V, L):
             nxt = seq[t]
             score += logp[nxt]
             out.append(nxt)
-            if nxt == END_ID:
+            if nxt in (END_ID, PAD_ID):
+                # PAD and END are both terminal: the host truncates the
+                # returned string at the first of either, so scoring any
+                # suffix would rank strings the caller never sees (the
+                # device beam stops there too)
                 break
             tok = jnp.asarray([nxt], jnp.int32)
         # pad to L for comparison
