@@ -112,13 +112,23 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard evaluation batches over all devices "
                              "(a data-axis Mesh; params replicate)")
+    parser.add_argument("--streaming", action="store_true",
+                        help="stream test batches from disk (double-buffered "
+                             "pack pool) instead of materialising the split "
+                             "in host RAM")
     args = parser.parse_args(argv)
 
     config = Config.load(args.config_path)
     alias = "last" if args.last else "best"
 
-    dataset = QGDataset(config, config.test_file,
-                        load_media=(args.mode != "text"))
+    if args.streaming:
+        from mmqg_tpu.data.streaming import StreamingLoader
+        dataset = StreamingLoader(config, config.test_file,
+                                  batch_size=config.eval_batch_size,
+                                  load_media=(args.mode != "text"))
+    else:
+        dataset = QGDataset(config, config.test_file,
+                            load_media=(args.mode != "text"))
     mc = qg_model.ModelConfig.from_config(config, n_vocab=len(dataset.vocab),
                                           mode=args.mode, dec=args.decoder)
     if not ckpt.has_checkpoint(config.checkpoint_dir, alias):
