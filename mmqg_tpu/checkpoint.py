@@ -101,13 +101,25 @@ def save_checkpoint(ckpt_dir: Path, alias: str, train_state: Dict,
         with open(tmp, "wb") as f:
             f.write(blob)
         os.replace(tmp, path)  # atomic publish
+        _drop_stale(_orbax_path(ckpt_dir, alias))
         _write_meta()
         return path
 
     def _write_orbax() -> Path:
         path = _save_orbax(ckpt_dir, alias, host_state)
+        _drop_stale(ckpt_dir / f"{alias}.msgpack")
         _write_meta()
         return path
+
+    def _drop_stale(other: Path) -> None:
+        # the alias's OTHER-backend artifact is now stale; leaving it would
+        # make a later auto-detecting load resume old weights against the
+        # fresh metadata (load prefers msgpack when both exist)
+        import shutil
+        if other.is_dir():
+            shutil.rmtree(other, ignore_errors=True)
+        elif other.exists():
+            other.unlink()
 
     def _write_meta() -> None:
         if metadata is not None:
@@ -125,6 +137,48 @@ def save_checkpoint(ckpt_dir: Path, alias: str, train_state: Dict,
         return (ckpt_dir / f"{alias}.msgpack" if backend == "msgpack"
                 else _orbax_path(ckpt_dir, alias))
     return write()
+
+
+def copy_checkpoint(ckpt_dir: Path, src_alias: str, dst_alias: str,
+                    backend: str = "msgpack",
+                    async_copy: bool = False) -> None:
+    """Duplicate a published alias (artifact + metadata sidecar) on disk —
+    e.g. ``best`` from a just-written ``last`` — without re-gathering or
+    re-serialising the train state (saving the same state twice costs two
+    device->host gathers + two serialisations for identical bytes). Runs on
+    the ordered writer thread when ``async_copy`` so it always sees the
+    completed source write."""
+    ckpt_dir = Path(ckpt_dir)
+
+    def _copy() -> None:
+        import shutil
+        if backend == "orbax":
+            src, dst = _orbax_path(ckpt_dir, src_alias), _orbax_path(
+                ckpt_dir, dst_alias)
+            if dst.exists():
+                shutil.rmtree(dst, ignore_errors=True)
+            shutil.copytree(src, dst)
+            stale = ckpt_dir / f"{dst_alias}.msgpack"
+        else:
+            src = ckpt_dir / f"{src_alias}.msgpack"
+            dst = ckpt_dir / f"{dst_alias}.msgpack"
+            tmp = dst.with_suffix(".tmp")
+            shutil.copyfile(src, tmp)
+            os.replace(tmp, dst)  # atomic publish
+            stale = _orbax_path(ckpt_dir, dst_alias)
+        if stale.is_dir():
+            shutil.rmtree(stale, ignore_errors=True)
+        elif stale.exists():
+            stale.unlink()
+        meta = ckpt_dir / f"{src_alias}.json"
+        if meta.exists():
+            shutil.copyfile(meta, ckpt_dir / f"{dst_alias}.json")
+
+    if async_copy:
+        _pending.append(_writer.submit(_copy))
+    else:
+        wait_for_pending()  # the source write must have landed
+        _copy()
 
 
 def load_checkpoint(ckpt_dir: Path, alias: str,

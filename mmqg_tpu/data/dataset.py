@@ -51,6 +51,44 @@ class Batch:
         return int(self.valid.sum())
 
 
+def encode_text_fields(config, records: List[Dict], vocab: Dict[str, int],
+                       load_media: bool) -> Dict:
+    """Eager text-side example encoding shared by ``QGDataset`` and
+    ``StreamingLoader`` (one copy of the tokenise/pad/length + media-path
+    rules — reference utils/dataset.py:38-55 semantics: target = question
+    + <end>, no <start>; media at salient_*/v_{vid}_q_{qid}_ paths)."""
+    Lc = config.context_max_length
+    Td = config.question_max_length + 1  # room for question tokens + <end>
+    n = len(records)
+    out = {
+        "context_ids": np.zeros((n, Lc), np.int32),
+        "context_len": np.zeros((n,), np.int32),
+        "target_ids": np.zeros((n, Td), np.int32),
+        "target_len": np.zeros((n,), np.int32),
+        "question_id": np.zeros((n,), np.int32),
+        "questions": [],
+        "frame_paths": [],
+        "wav_paths": [],
+    }
+    for i, rec in enumerate(records):
+        ctx = encode_tokens(rec["context"], vocab)
+        tgt = encode_tokens(f"{rec['question']} {END}", vocab)
+        out["context_ids"][i] = pad_to(ctx, Lc)
+        out["context_len"][i] = min(len(ctx), Lc)
+        out["target_ids"][i] = pad_to(tgt, Td)
+        out["target_len"][i] = min(len(tgt), Td)
+        out["question_id"][i] = int(rec["question_id"])
+        out["questions"].append(rec["question"])
+        vid, qid = rec["video_id"], rec["question_id"]
+        fpath = Path(config.salient_frames_path) / f"v_{vid}_q_{qid}_.npy"
+        apath = Path(config.salient_audio_path) / f"v_{vid}_q_{qid}_.wav"
+        out["frame_paths"].append(
+            str(fpath) if load_media and os.path.exists(fpath) else None)
+        out["wav_paths"].append(
+            str(apath) if load_media and os.path.exists(apath) else None)
+    return out
+
+
 class QGDataset:
     """Eagerly materialised split (the corpus is small: 250 questions over 197
     videos — reference dataset/labelled_questions.json); exposes shuffled
@@ -81,44 +119,27 @@ class QGDataset:
         self.index_to_word = index_to_word
         self.load_media = load_media
 
-        Lc = config.context_max_length
-        Td = config.question_max_length + 1  # room for question tokens + <end>
         Tav = config.av_max_length
         H = W = config.frame_size
         S = (max_audio_seconds or config.av_max_length) * config.audio_sample_rate
         n = len(self.records)
 
-        self.context_ids = np.zeros((n, Lc), np.int32)
-        self.context_len = np.zeros((n,), np.int32)
-        self.target_ids = np.zeros((n, Td), np.int32)
-        self.target_len = np.zeros((n,), np.int32)
-        self.question_id = np.zeros((n,), np.int32)
+        text = encode_text_fields(config, self.records, vocab, load_media)
+        self.context_ids = text["context_ids"]
+        self.context_len = text["context_len"]
+        self.target_ids = text["target_ids"]
+        self.target_len = text["target_len"]
+        self.question_id = text["question_id"]
+        self.questions = text["questions"]
+
         self.frames = np.zeros((n, Tav, H, W, 3), np.uint8)
         self.frames_len = np.zeros((n,), np.int32)
         # PCM16 on the wire: half the H2D bytes of f32; device converts
         self.audio_pcm = np.zeros((n, S), np.int16)
         self.audio_len = np.zeros((n,), np.int32)
-        self.questions: List[str] = []
-
-        frame_paths: List[Optional[str]] = []
-        wav_paths: List[Optional[str]] = []
-        for i, rec in enumerate(self.records):
-            ctx = encode_tokens(rec["context"], vocab)
-            tgt = encode_tokens(f"{rec['question']} {END}", vocab)
-            self.context_ids[i] = pad_to(ctx, Lc)
-            self.context_len[i] = min(len(ctx), Lc)
-            self.target_ids[i] = pad_to(tgt, Td)
-            self.target_len[i] = min(len(tgt), Td)
-            self.question_id[i] = int(rec["question_id"])
-            self.questions.append(rec["question"])
-            vid, qid = rec["video_id"], rec["question_id"]
-            fpath = Path(config.salient_frames_path) / f"v_{vid}_q_{qid}_.npy"
-            apath = Path(config.salient_audio_path) / f"v_{vid}_q_{qid}_.wav"
-            frame_paths.append(str(fpath) if load_media and os.path.exists(fpath) else None)
-            wav_paths.append(str(apath) if load_media and os.path.exists(apath) else None)
 
         if load_media:
-            self._load_media(frame_paths, wav_paths)
+            self._load_media(text["frame_paths"], text["wav_paths"])
         # When media is absent we still expose >=1 AV step so attention over
         # the AV axes stays well-defined (all-masked softmax is NaN).
         np.maximum(self.frames_len, 1, out=self.frames_len)

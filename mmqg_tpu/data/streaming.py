@@ -20,10 +20,10 @@ from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 
+from mmqg_tpu.data import dataset as dataset_mod
 from mmqg_tpu.data import native
 from mmqg_tpu.data import wav as wavio
 from mmqg_tpu.data.dataset import Batch
-from mmqg_tpu.data.vocab import END, encode_tokens, pad_to
 
 
 class StreamingLoader:
@@ -48,37 +48,25 @@ class StreamingLoader:
         self.vocab = vocab
         self.index_to_word = index_to_word
 
-        Lc = config.context_max_length
-        Td = config.question_max_length + 1
-        n = len(self.records)
-        self.context_ids = np.zeros((n, Lc), np.int32)
-        self.context_len = np.zeros((n,), np.int32)
-        self.target_ids = np.zeros((n, Td), np.int32)
-        self.target_len = np.zeros((n,), np.int32)
-        self.question_id = np.zeros((n,), np.int32)
-        self.questions: List[str] = []
-        self.frame_paths: List[Optional[str]] = []
-        self.wav_paths: List[Optional[str]] = []
-        for i, rec in enumerate(self.records):
-            ctx = encode_tokens(rec["context"], vocab)
-            tgt = encode_tokens(f"{rec['question']} {END}", vocab)
-            self.context_ids[i] = pad_to(ctx, Lc)
-            self.context_len[i] = min(len(ctx), Lc)
-            self.target_ids[i] = pad_to(tgt, Td)
-            self.target_len[i] = min(len(tgt), Td)
-            self.question_id[i] = int(rec["question_id"])
-            self.questions.append(rec["question"])
-            vid, qid = rec["video_id"], rec["question_id"]
-            fp = Path(config.salient_frames_path) / f"v_{vid}_q_{qid}_.npy"
-            ap = Path(config.salient_audio_path) / f"v_{vid}_q_{qid}_.wav"
-            self.frame_paths.append(str(fp) if load_media and os.path.exists(fp) else None)
-            self.wav_paths.append(str(ap) if load_media and os.path.exists(ap) else None)
+        text = dataset_mod.encode_text_fields(config, self.records, vocab,
+                                              load_media)
+        self.context_ids = text["context_ids"]
+        self.context_len = text["context_len"]
+        self.target_ids = text["target_ids"]
+        self.target_len = text["target_len"]
+        self.question_id = text["question_id"]
+        self.questions: List[str] = text["questions"]
+        self.frame_paths: List[Optional[str]] = text["frame_paths"]
+        self.wav_paths: List[Optional[str]] = text["wav_paths"]
 
         self._Tav = config.av_max_length
         self._H = self._W = config.frame_size
         self._S = (max_audio_seconds or config.av_max_length) * config.audio_sample_rate
-        # two rotating media buffers: pack into one while the other is consumed
-        self._bufs = [self._alloc(), self._alloc()]
+        # THREE rotating media buffers: while batch N is being consumed,
+        # N+1 is being packed and the consumer may still hold N-1 (the
+        # standard prefetch pattern keeps two batches live) — with only two
+        # buffers the pack of N+1 would overwrite N-1 underneath the caller
+        self._bufs = [self._alloc(), self._alloc(), self._alloc()]
 
     def _alloc(self):
         B = self.batch_size
@@ -148,10 +136,10 @@ class StreamingLoader:
         ``StreamingLoader`` drops into the ``Trainer`` for corpora larger
         than host RAM; ``batch_size`` (if given) must match the loader's.
 
-        LIFETIME: the media arrays of a yielded Batch alias one of two
-        rotating buffers and are overwritten two iterations later — consume
-        (ship to device) each batch before advancing twice; don't collect
-        batches into a list."""
+        LIFETIME: the media arrays of a yielded Batch alias one of three
+        rotating buffers; a batch stays valid while the NEXT one is held
+        and packed (the standard prefetch pattern), and is overwritten two
+        advances later — don't collect batches into a list."""
         if batch_size is not None and batch_size != self.batch_size:
             raise ValueError(
                 f"batch_size {batch_size} != loader batch_size "
@@ -184,10 +172,10 @@ class StreamingLoader:
                 nxt = i + 1
                 if nxt < len(chunks):  # overlap: pack next while caller consumes
                     pending = self._start_pack(chunks[nxt][0],
-                                               self._bufs[nxt % 2])
+                                               self._bufs[nxt % 3])
                 else:
                     pending = None
-                yield self._emit(chunk, valid, self._bufs[i % 2])
+                yield self._emit(chunk, valid, self._bufs[i % 3])
         finally:
             # abandoned generator: join any in-flight pack threads before the
             # buffers can be reclaimed

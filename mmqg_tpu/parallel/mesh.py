@@ -64,18 +64,6 @@ def _spec_for(path: str, leaf) -> P:
     return P()
 
 
-def _tree_paths(tree, prefix=""):
-    """Yield (path_string, leaf) over a nested dict/list/tuple pytree."""
-    if isinstance(tree, dict):
-        for k, v in tree.items():
-            yield from _tree_paths(v, f"{prefix}{k}/")
-    elif isinstance(tree, (list, tuple)) and not hasattr(tree, "shape"):
-        for i, v in enumerate(tree):
-            yield from _tree_paths(v, f"{prefix}{i}/")
-    else:
-        yield prefix.rstrip("/"), tree
-
-
 def param_shardings(params, mesh: Mesh):
     """Pytree of NamedShardings matching ``params``' structure."""
     def build(tree, prefix=""):

@@ -97,13 +97,28 @@ def serve(pipe, *, strategy: str, max_batch: int, linger_ms: float,
             except Exception as e:  # bad request must not kill the batch
                 errs[i] = (req.get("id") if isinstance(req, dict) else None,
                            str(e))
+        questions: List[Optional[str]] = []
         if contexts:
-            questions = pipe.generate(contexts, frames, audio,
-                                      strategy=strategy)
-        else:
-            questions = []
+            try:
+                questions = pipe.generate(contexts, frames, audio,
+                                          strategy=strategy)
+            except Exception:
+                # a request that loaded fine can still break batch packing
+                # (e.g. wrong frame geometry); degrade to per-request calls
+                # so one poisoned input errors alone, not the whole batch
+                questions = []
+                for j, ctx in enumerate(contexts):
+                    try:
+                        questions.append(pipe.generate(
+                            [ctx], [frames[j]], [audio[j]],
+                            strategy=strategy)[0])
+                    except Exception as e:
+                        errs[len(errs) + len(pending)] = (ids[j], str(e))
+                        questions.append(None)
         ms = (time.monotonic() - t0) * 1000.0
         for rid, question in zip(ids, questions):
+            if question is None:
+                continue  # already recorded in errs
             out.write(json.dumps({"id": rid, "question": question,
                                   "batch_size": len(contexts),
                                   "latency_ms": round(ms, 1)}) + "\n")

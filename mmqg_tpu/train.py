@@ -209,7 +209,8 @@ def make_validate_step(mc: qg_model.ModelConfig, *, use_pallas: bool = True,
         return per_sample, toks
 
     def validate_step(params, model_state, batch):
-        mem, dec_state = encode_jit(params, model_state, mc, batch)
+        mem, dec_state = encode_jit(params, model_state, mc, batch,
+                                    use_pallas)
         return greedy_ce_scan(params, mem, dec_state, batch["target_ids"],
                               batch["target_len"])
 
@@ -279,7 +280,9 @@ class Trainer:
         self.av_bucketing = getattr(config, "train_av_bucketing", True)
         self._bucketed_steps = {}
         self.validate_step = make_validate_step(mc, use_pallas=self.use_pallas)
-        # reference epoch_stats schema (train.py:132)
+        # reference epoch_stats schema (train.py:132); bleu_4 is declared
+        # but never populated THERE EITHER (its append is commented out at
+        # reference train.py:195) — the empty series is faithful parity
         self.epoch_stats = {"train": {"loss": []},
                             "val": {"loss": [], "bleu": [], "bleu_1": [],
                                     "bleu_2": [], "bleu_3": [], "bleu_4": []}}
@@ -399,8 +402,9 @@ class Trainer:
             return self._fit_inner(epochs)
         except BaseException:
             if self.start_epoch > 0 or self.epoch_stats["train"]["loss"]:
-                last_done = self.start_epoch + len(
-                    self.epoch_stats["train"]["loss"]) - 1
+                # epoch_stats is an absolute history (resume() restores the
+                # pre-resume epochs), so its length IS the completed count
+                last_done = len(self.epoch_stats["train"]["loss"]) - 1
                 self.save("last", max(last_done, 0))
                 self.write_stats()
             raise
@@ -419,11 +423,20 @@ class Trainer:
             self.log(f"epoch {epoch}: train_loss={train_loss:.3f} "
                      f"val_loss={val['loss']:.3f} val_bleu={val['bleu']:.3f} "
                      f"({time.time()-t0:.1f}s)")
-            if val["loss"] < self.best_val:  # reference train.py:198
+            improved = val["loss"] < self.best_val  # reference train.py:198
+            if improved:
                 self.best_val = val["loss"]
                 self.best_epoch = epoch
-                self.save("best", epoch)
             self.save("last", epoch)
+            if improved:
+                # "best" == this "last": copy the published file instead of
+                # gathering + serialising the identical state a second time
+                ckpt.copy_checkpoint(
+                    self.config.checkpoint_dir, "last", "best",
+                    backend=getattr(self.config, "checkpoint_backend",
+                                    "msgpack"),
+                    async_copy=getattr(self.config, "checkpoint_async",
+                                       False))
         if self.profile_dir and not self._profiled:
             self.log("warning: --profile-dir set but no warm step was "
                      "traced (every batch hit a fresh compile — too few "
@@ -451,6 +464,18 @@ class Trainer:
         self.start_epoch = int(meta.get("epoch", -1)) + 1
         self.best_val = float(meta.get("best_val", float("inf")))
         self.best_epoch = int(meta.get("best_epoch", -1))
+        # restore the stats history so write_stats() appends instead of
+        # clobbering the pre-resume epochs' curves; truncate to the epochs
+        # actually completed (a crash may have written a partial tail)
+        try:
+            with open(self.config.stats_json_path) as f:
+                prior = json.load(f)
+            for section, series in self.epoch_stats.items():
+                for key in series:
+                    series[key] = list(
+                        prior.get(section, {}).get(key, []))[:self.start_epoch]
+        except (FileNotFoundError, json.JSONDecodeError):
+            pass
         return True
 
     def write_stats(self) -> None:

@@ -103,3 +103,38 @@ def test_trainer_async_checkpointing(tiny_config, tiny_corpus):
                     log_fn=lambda *a, **k: None)
     assert fresh.resume("last")
     assert fresh.start_epoch == 1
+
+
+def test_backend_switch_drops_stale_artifact(tmp_path):
+    """Saving an alias under a new backend must remove the other backend's
+    stale artifact — otherwise auto-detecting load resumes old weights
+    against fresh metadata."""
+    import numpy as np
+    from mmqg_tpu import checkpoint as ckpt
+
+    s1 = {"w": np.ones((2, 2), np.float32)}
+    s2 = {"w": np.full((2, 2), 7.0, np.float32)}
+    ckpt.save_checkpoint(tmp_path, "last", s1, metadata={"epoch": 4},
+                         backend="msgpack")
+    ckpt.save_checkpoint(tmp_path, "last", s2, metadata={"epoch": 9},
+                         backend="orbax")
+    assert not (tmp_path / "last.msgpack").exists()
+    restored, meta = ckpt.load_checkpoint(
+        tmp_path, "last", {"w": np.zeros((2, 2), np.float32)})
+    np.testing.assert_array_equal(restored["w"], s2["w"])
+    assert meta["epoch"] == 9
+
+
+def test_copy_checkpoint_aliases_without_reserialising(tmp_path):
+    import numpy as np
+    from mmqg_tpu import checkpoint as ckpt
+
+    s = {"w": np.arange(4, dtype=np.float32)}
+    ckpt.save_checkpoint(tmp_path, "last", s, metadata={"epoch": 3},
+                         async_save=True)
+    ckpt.copy_checkpoint(tmp_path, "last", "best", async_copy=True)
+    ckpt.wait_for_pending()
+    restored, meta = ckpt.load_checkpoint(
+        tmp_path, "best", {"w": np.zeros((4,), np.float32)})
+    np.testing.assert_array_equal(restored["w"], s["w"])
+    assert meta["epoch"] == 3

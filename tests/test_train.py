@@ -160,3 +160,39 @@ def test_grad_accum_partial_tail_batch(tiny_config, tiny_corpus):
                       jax.tree.leaves(newA["params"])):
         np.testing.assert_allclose(np.asarray(p1), np.asarray(pA),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_resume_preserves_stats_history(tiny_config, tiny_corpus,
+                                        tmp_path_factory):
+    """Resuming must restore the prior epochs' stats so write_stats appends
+    rather than clobbering the curves."""
+    import json
+
+    from mmqg_tpu.data.dataset import QGDataset
+    from mmqg_tpu.train import Trainer
+
+    cfg = tiny_config.replace(
+        output_path=tmp_path_factory.mktemp("resume_stats") / "results",
+        lr=5e-3)
+    cfg.ensure_dirs()
+
+    def build():
+        tr_ds = QGDataset(cfg, cfg.train_file, load_media=False)
+        va_ds = QGDataset(cfg, cfg.val_file, load_media=False)
+        emb = np.load(cfg.weights_matrix_file).astype(np.float32)
+        mc = qg_model.ModelConfig.from_config(
+            cfg, n_vocab=len(tr_ds.vocab), mode="text")
+        return Trainer(cfg, mc, emb, tr_ds, va_ds,
+                       log_fn=lambda *a, **k: None)
+
+    build().fit(2)
+    with open(cfg.stats_json_path) as f:
+        assert len(json.load(f)["train"]["loss"]) == 2
+
+    resumed = build()
+    assert resumed.resume("last") and resumed.start_epoch == 2
+    resumed.fit(3)  # one more epoch
+    with open(cfg.stats_json_path) as f:
+        stats = json.load(f)
+    assert len(stats["train"]["loss"]) == 3
+    assert len(stats["val"]["bleu"]) == 3
