@@ -110,6 +110,12 @@ def prepare_main(argv: Optional[List[str]] = None) -> None:
     config = (Config.load(args.config_path) if args.config_path else Config())
     config.ensure_dirs()
     stages = set(args.stages.split(","))
+    known = {"saliency", "glove", "text", "data"}
+    unknown = stages - known
+    if unknown:
+        raise SystemExit(
+            f"error: unknown stage(s) {sorted(unknown)}; "
+            f"valid: {sorted(known)}")
 
     if "saliency" in stages:
         from mmqg_tpu.data.saliency import run_prep_pipeline

@@ -97,6 +97,7 @@ class Config:
     grad_accum_steps: int = 1        # microbatches per optimizer update
     checkpoint_backend: str = "msgpack"  # or "orbax" (tensorstore interop)
     checkpoint_async: bool = False   # write checkpoints off the train thread
+    donate_buffers: bool = True      # donate train-state buffers (PERF.md)
     train_av_bucketing: bool = True  # skip padded AV slots in train steps
     beam_size: int = 4
     # audio frontend (VGGish-compatible framing)
@@ -224,7 +225,14 @@ class Config:
         names = {f.name: f for f in dataclasses.fields(cls)}
         kwargs: Dict[str, Any] = {}
         for key, value in raw.items():
-            key = _COMPAT_ALIASES.get(key, key)
+            if key in _COMPAT_ALIASES:
+                # honour a compat alias (reference's typo'd keys) only when
+                # the canonical key is absent — save() emits both, and the
+                # alias must not clobber a user's edit to the canonical one
+                canonical = _COMPAT_ALIASES[key]
+                if canonical in raw:
+                    continue
+                key = canonical
             if key not in names:
                 continue  # tolerate reference-only derived-path keys
             if key in _PATH_KEYS and isinstance(value, str):

@@ -143,6 +143,16 @@ def pack_batch_async(
     lib = get_lib()
     if lib is None:
         return None
+    # the C++ workers write with C-contiguous stride arithmetic through raw
+    # pointers — a view/wrong-dtype array would be silently corrupted
+    for name, arr, dt in (("frames", frames, np.uint8),
+                          ("audio", audio, np.int16),
+                          ("frames_len", frames_len, np.int32),
+                          ("audio_len", audio_len, np.int32)):
+        if arr.dtype != dt or not arr.flags["C_CONTIGUOUS"]:
+            raise ValueError(
+                f"{name} must be C-contiguous {np.dtype(dt).name} "
+                f"(got {arr.dtype}, contiguous={arr.flags['C_CONTIGUOUS']})")
     n, t_max, h, w, _ = frames.shape
     s_max = audio.shape[1]
 

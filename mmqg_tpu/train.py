@@ -78,10 +78,20 @@ def batch_arrays(batch: Batch) -> Dict[str, np.ndarray]:
 
 def make_train_step(mc: qg_model.ModelConfig, optimizer, *,
                     use_pallas: bool = True, dtype=jnp.bfloat16,
-                    audio_cap=None, frames_cap=None, accum_steps: int = 1):
+                    audio_cap=None, frames_cap=None, accum_steps: int = 1,
+                    donate: bool = True):
     """``audio_cap``/``frames_cap``: static AV-length buckets (see
     qg_model.loss_fn) — the encoders skip guaranteed-padding slots whose
     gradients are identically zero. One compiled variant per bucket pair.
+
+    ``donate``: donate the train-state buffers (halves peak state memory —
+    old and new params/opt never coexist). Measured on the v5e backend
+    (PERF.md "donation"): donation costs ~2x on a SMALL single step
+    (B=32: 273 vs 128 ms — scheduling, not copies) but is free once the
+    step is big or accumulated (B>=64 / any accum_steps>1, where turning
+    it off instead triggers memory-pressure remat). Keep it on unless you
+    run small-batch single steps with HBM to spare
+    (``config.donate_buffers``).
 
     ``accum_steps``: gradient accumulation — the batch's leading dim splits
     into ``accum_steps`` microbatches scanned sequentially, gradients
@@ -113,7 +123,6 @@ def make_train_step(mc: qg_model.ModelConfig, optimizer, *,
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
-    @partial(jax.jit, donate_argnums=(0,))
     def train_step(train_state, batch, rng):
         (objective, aux), grads = grads_and_aux(
             train_state["params"], train_state["model_state"], batch, rng)
@@ -123,7 +132,6 @@ def make_train_step(mc: qg_model.ModelConfig, optimizer, *,
             "loss_per_token": aux["loss_per_token"],
         })
 
-    @partial(jax.jit, donate_argnums=(0,))
     def train_step_accum(train_state, batch, rng):
         A = accum_steps
 
@@ -164,7 +172,8 @@ def make_train_step(mc: qg_model.ModelConfig, optimizer, *,
             "loss_per_token": ce / jnp.maximum(ntok, 1),
         })
 
-    return train_step if accum_steps == 1 else train_step_accum
+    fn = train_step if accum_steps == 1 else train_step_accum
+    return jax.jit(fn, donate_argnums=(0,)) if donate else jax.jit(fn)
 
 
 def make_validate_step(mc: qg_model.ModelConfig, *, use_pallas: bool = True,
@@ -256,6 +265,7 @@ class Trainer:
         self._profiled = False
         self._steps_used = set()        # step fns that have executed once
         self.accum_steps = getattr(config, "grad_accum_steps", 1) or 1
+        self.donate = getattr(config, "donate_buffers", True)
         if mesh is not None and self.accum_steps > 1:
             dp = mesh.devices.shape[0]
             padded = -(-config.batch_size // dp) * dp
@@ -273,7 +283,8 @@ class Trainer:
             self.train_state = self._place_on_mesh(self.train_state)
         self.train_step = make_train_step(mc, self.optimizer,
                                           use_pallas=self.use_pallas,
-                                          accum_steps=self.accum_steps)
+                                          accum_steps=self.accum_steps,
+                                          donate=self.donate)
         # bucketed variants (quarter-granularity: bounds recompiles to <=16
         # pairs, amortised over epochs) — skip padded AV slots in training
         # just like serving does; gradients are unchanged (loss_fn doc)
@@ -331,7 +342,7 @@ class Trainer:
             self._bucketed_steps[key] = make_train_step(
                 self.mc, self.optimizer, use_pallas=self.use_pallas,
                 audio_cap=acap, frames_cap=fcap,
-                accum_steps=self.accum_steps)
+                accum_steps=self.accum_steps, donate=self.donate)
         return self._bucketed_steps[key]
 
     def run_epoch(self, epoch: int) -> float:

@@ -82,7 +82,11 @@ def plot_grad_flow(grads, save_path: Path) -> Path:
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    pairs = [(n, g) for n, g in grad_norms_by_layer(grads) if "/b" not in n]
+    # filter BIAS leaves only (reference plot_gradient.py:11 'bias' check) —
+    # match the final path segment, not a substring ("/b" would also drop
+    # every batch-norm subtree: bns/, bn1/, ...)
+    pairs = [(n, g) for n, g in grad_norms_by_layer(grads)
+             if n.split("/")[-1] not in ("b", "bias")]
     names = [n for n, _ in pairs]
     vals = [v for _, v in pairs]
     plt.figure(figsize=(max(6, len(names) * 0.4), 4))

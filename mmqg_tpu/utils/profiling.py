@@ -95,15 +95,25 @@ def device_memory_report() -> dict:
     activations and donated buffers not yet freed."""
     report = {}
     for d in jax.devices():
+        stats = None
         try:
             stats = d.memory_stats()
+        except Exception:
+            pass
+        if stats:
             report[str(d)] = {
                 "bytes_in_use_mb": stats.get("bytes_in_use", 0) / 1e6,
                 "peak_bytes_mb": stats.get("peak_bytes_in_use", 0) / 1e6,
             }
-        except Exception:
-            # backends without memory_stats (e.g. CPU): count live buffers
-            live = sum(b.nbytes for b in d.client.live_buffers()
-                       if b.device() == d) if hasattr(d, "client") else 0
-            report[str(d)] = {"bytes_in_use_mb": live / 1e6}
+            continue
+        # backends without memory_stats (CPU returns None): count live
+        # buffers (jax.Array.device is a PROPERTY, not a method)
+        live = 0
+        if hasattr(d, "client"):
+            for b in d.client.live_buffers():
+                dev = getattr(b, "device", None)
+                dev = dev() if callable(dev) else dev
+                if dev == d:
+                    live += b.nbytes
+        report[str(d)] = {"bytes_in_use_mb": live / 1e6}
     return report

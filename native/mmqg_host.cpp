@@ -165,7 +165,7 @@ static long resample_to_i16(const WavData& wav, int target_rate, int16_t* out,
 // and fills shape (up to 8 dims). Only validates what the packer needs.
 static const uint8_t* parse_npy(const std::vector<uint8_t>& buf,
                                 long shape[8], int* ndim,
-                                std::string* dtype) {
+                                std::string* dtype, size_t* payload_bytes) {
   if (buf.size() < 10 || std::memcmp(buf.data(), "\x93NUMPY", 6) != 0)
     return nullptr;
   int major = buf[6];
@@ -173,11 +173,15 @@ static const uint8_t* parse_npy(const std::vector<uint8_t>& buf,
   if (major == 1) {
     header_len = rd_u16(buf.data() + 8);
     header_off = 10;
-  } else {
+  } else if (major == 2 || major == 3) {
+    if (buf.size() < 12) return nullptr;  // v2/v3 length field is 4 bytes
     header_len = rd_u32(buf.data() + 8);
     header_off = 12;
+  } else {
+    return nullptr;  // unknown/corrupt version byte
   }
   if (header_off + header_len > buf.size()) return nullptr;
+  *payload_bytes = buf.size() - header_off - header_len;
   std::string hdr(reinterpret_cast<const char*>(buf.data() + header_off),
                   header_len);
   // descr
@@ -236,11 +240,15 @@ static void pack_worker(PackJob* job) {
         long shape[8];
         int ndim = 0;
         std::string dtype;
-        const uint8_t* data = parse_npy(buf, shape, &ndim, &dtype);
+        size_t payload = 0;
+        const uint8_t* data = parse_npy(buf, shape, &ndim, &dtype, &payload);
+        size_t frame_bytes = static_cast<size_t>(job->h) * job->w * 3;
+        // never memcpy past the file: a truncated .npy (partial prep write)
+        // must not become a heap overread of shape-implied bytes
         if (data && ndim == 4 && dtype == "|u1" && shape[1] == job->h &&
-            shape[2] == job->w && shape[3] == 3) {
+            shape[2] == job->w && shape[3] == 3 &&
+            payload >= static_cast<size_t>(shape[0]) * frame_bytes) {
           long t = shape[0] < job->t_max ? shape[0] : job->t_max;
-          size_t frame_bytes = static_cast<size_t>(job->h) * job->w * 3;
           std::memcpy(it.frames_out, data, t * frame_bytes);
           *it.frames_len = static_cast<int32_t>(t);
         } else {
@@ -288,12 +296,15 @@ long mmqg_load_frames(const char* path, uint8_t* out, int t_max, int h, int w) {
   long shape[8];
   int ndim = 0;
   std::string dtype;
-  const uint8_t* data = parse_npy(buf, shape, &ndim, &dtype);
+  size_t payload = 0;
+  const uint8_t* data = parse_npy(buf, shape, &ndim, &dtype, &payload);
+  size_t frame_bytes = static_cast<size_t>(h) * w * 3;
   if (!data || ndim != 4 || dtype != "|u1" || shape[1] != h || shape[2] != w ||
-      shape[3] != 3)
-    return -1;
+      shape[3] != 3 ||
+      payload < static_cast<size_t>(shape[0]) * frame_bytes)
+    return -1;  // incl. truncated payload: no shape-implied overread
   long t = shape[0] < t_max ? shape[0] : t_max;
-  std::memcpy(out, data, static_cast<size_t>(t) * h * w * 3);
+  std::memcpy(out, data, static_cast<size_t>(t) * frame_bytes);
   return t;
 }
 

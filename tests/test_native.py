@@ -87,3 +87,30 @@ def test_pack_reports_errors(tmp_path):
                                      frames, audio, fl, al)
     assert handle is not None
     assert handle.wait() == 2  # both modalities failed
+
+
+def test_truncated_npy_rejected(tmp_path):
+    """A .npy whose payload is shorter than its shape implies must be
+    rejected, not overread (the header's shape is untrusted input)."""
+    arr = np.arange(5 * 8 * 8 * 3, dtype=np.uint8).reshape(5, 8, 8, 3)
+    p = tmp_path / "f.npy"
+    np.save(p, arr)
+    blob = p.read_bytes()
+    p.write_bytes(blob[: len(blob) // 2])  # cut the payload mid-frame
+    assert native.load_frames(str(p), 5, 8, 8) is None
+
+    frames = np.zeros((1, 5, 8, 8, 3), np.uint8)
+    audio = np.zeros((1, 100), np.int16)
+    fl = np.zeros((1,), np.int32)
+    al = np.zeros((1,), np.int32)
+    handle = native.pack_batch_async([str(p)], [None], frames, audio, fl, al)
+    assert handle is not None
+    assert handle.wait() == 1
+    assert fl[0] == 0
+    assert not frames.any()
+
+
+def test_garbage_npy_version_rejected(tmp_path):
+    p = tmp_path / "bad.npy"
+    p.write_bytes(b"\x93NUMPY\x07\x00\xff\xff")  # bogus version, 10 bytes
+    assert native.load_frames(str(p), 2, 8, 8) is None

@@ -196,3 +196,28 @@ def test_resume_preserves_stats_history(tiny_config, tiny_corpus,
         stats = json.load(f)
     assert len(stats["train"]["loss"]) == 3
     assert len(stats["val"]["bleu"]) == 3
+
+
+def test_donate_off_matches_donated_step(tiny_config, tiny_corpus):
+    """donate_buffers=False must be numerically identical to the donated
+    step (it only changes buffer aliasing)."""
+    import jax
+    from tests.fixtures import single_step_setup
+    from mmqg_tpu.train import make_train_step
+
+    mc, optimizer, fresh, batch = single_step_setup(
+        tiny_config, optim="sgd", dropout=0.0)
+    rng = jax.random.PRNGKey(3)
+    s1 = make_train_step(mc, optimizer, use_pallas=False, donate=True)
+    s2 = make_train_step(mc, optimizer, use_pallas=False, donate=False)
+    new1, m1 = s1(fresh(), batch, rng)
+    ts = fresh()
+    new2, m2 = s2(ts, batch, rng)
+    assert float(m1["objective"]) == pytest.approx(
+        float(m2["objective"]), rel=1e-6)
+    for p1, p2 in zip(jax.tree.leaves(new1["params"]),
+                      jax.tree.leaves(new2["params"])):
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                                   rtol=1e-6, atol=1e-7)
+    # without donation the input state must remain readable
+    _ = float(jax.tree.leaves(ts["params"])[0].ravel()[0])
