@@ -71,4 +71,4 @@ def test_gradients_flow():
     g = jax.grad(loss)(params)
     assert float(jnp.abs(g.w_text).sum()) > 0
     assert float(jnp.abs(g.w_audio).sum()) > 0
-    assert np.isfinite(float(jnp.abs(g.w_video).sum()))
+    assert float(jnp.abs(g.w_video).sum()) > 0  # a dead video head is a bug

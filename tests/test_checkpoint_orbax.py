@@ -50,11 +50,18 @@ def test_unknown_backend_rejected(tmp_path, state):
 
 
 def test_msgpack_preferred_when_both_exist(tmp_path, state):
-    ckpt.save_checkpoint(tmp_path, "best", state, backend="orbax")
+    """If BOTH artifacts somehow coexist (save_checkpoint normally deletes
+    the other backend's — so plant the orbax one directly), auto-detecting
+    load must pick msgpack (checkpoint.py load_checkpoint doc)."""
     state2 = {**state, "step": jnp.asarray(11, jnp.int32)}
     ckpt.save_checkpoint(tmp_path, "best", state2, backend="msgpack")
+    # plant a DIFFERENT orbax state via the internal writer, bypassing the
+    # stale-artifact cleanup
+    ckpt._save_orbax(tmp_path, "best", state)
+    assert (tmp_path / "best.msgpack").exists()
+    assert ckpt._orbax_path(tmp_path, "best").exists()
     restored, _ = ckpt.load_checkpoint(tmp_path, "best", _zeros_like(state))
-    assert int(restored["step"]) == 11
+    assert int(restored["step"]) == 11  # the msgpack one
 
 
 def test_async_save_roundtrip(tmp_path):

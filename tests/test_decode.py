@@ -32,14 +32,24 @@ def test_greedy_is_deterministic(setup):
 
 
 def test_end_token_stops_generation(setup):
+    """After an emitted <end>, every later position must be PAD. A random
+    init may never emit <end>, so FORCE it: bias the vocab projection so
+    <end> wins from step 2 onward would be shape-dependent — instead make
+    <end> the argmax always; every row must be [<end>, PAD, PAD, ...]."""
+    import jax.numpy as jnp
+
     mc, params, state, batch, ds = setup
-    toks = np.asarray(DEC.decode_batch(params, state, mc, batch,
+    forced = jax.tree.map(lambda x: x, params)  # shallow copy of the pytree
+    b = np.asarray(forced["decoder"]["out"]["b"]).copy()
+    b[END_ID] += 50.0
+    forced = {**forced, "decoder": {**forced["decoder"],
+                                    "out": {**forced["decoder"]["out"],
+                                            "b": jnp.asarray(b)}}}
+    toks = np.asarray(DEC.decode_batch(forced, state, mc, batch,
                                        jax.random.PRNGKey(0), max_len=6,
                                        use_pallas=False))
-    for row in toks:
-        ends = np.where(row == END_ID)[0]
-        if len(ends):
-            assert (row[ends[0] + 1:] == PAD_ID).all()
+    assert (toks[:, 0] == END_ID).all()
+    assert (toks[:, 1:] == PAD_ID).all()
 
 
 def test_sampling_and_topk_run(setup):

@@ -89,9 +89,15 @@ def test_batchnorm_train_and_eval():
     np.testing.assert_allclose(np.asarray(y.mean((0, 1, 2))), 0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(y.std((0, 1, 2))), 1, atol=1e-2)
     assert float(s2["count"]) == 1
-    # eval mode uses running stats, state unchanged
+    # eval mode normalises with the RUNNING stats and leaves state alone
     y2, s3 = L.batchnorm(p, s2, x, train=False)
     assert float(s3["count"]) == 1
+    np.testing.assert_allclose(np.asarray(s3["mean"]), np.asarray(s2["mean"]))
+    np.testing.assert_allclose(np.asarray(s3["var"]), np.asarray(s2["var"]))
+    expect = ((np.asarray(x) - np.asarray(s2["mean"]))
+              / np.sqrt(np.asarray(s2["var"]) + 1e-5)
+              * np.asarray(p["scale"]) + np.asarray(p["bias"]))
+    np.testing.assert_allclose(np.asarray(y2), expect, atol=1e-5)
 
 
 def test_dense_shapes_and_grad():

@@ -28,12 +28,25 @@ def test_streaming_matches_eager(tiny_config, tiny_corpus):
 def test_streaming_shuffle_and_tail_padding(tiny_config, tiny_corpus):
     stream = StreamingLoader(tiny_config, tiny_config.train_file,
                              batch_size=5)
+    n = len(stream)
+    assert n % 5 != 0, "fixture must produce a genuine partial tail batch"
+    # (text fields per batch are fresh copies; only media buffers rotate,
+    # so collecting question_id/valid into a list is safe)
     batches = list(stream.batches(shuffle=True,
                                   rng=np.random.default_rng(0)))
-    n = len(stream)
     seen = sum(int(b.valid.sum()) for b in batches)
     assert seen == n
-    assert batches[-1].valid.sum() <= 5
+    # the tail is padded and masked: exactly n % 5 real rows, the padding
+    # rows invalid
+    assert int(batches[-1].valid.sum()) == n % 5
+    assert not batches[-1].valid[n % 5:].any()
+    # shuffling must actually reorder examples vs the unshuffled pass
+    order = np.concatenate([b.question_id for b in batches])
+    plain = np.concatenate(
+        [b.question_id for b in stream.batches(shuffle=False)])
+    assert not np.array_equal(order, plain)
+    assert sorted(order[:n].tolist()) != order[:n].tolist() or \
+        not np.array_equal(order[:n], plain[:n])
 
 
 def test_buffers_rotate_not_alias(tiny_config, tiny_corpus):

@@ -44,6 +44,9 @@ def test_text_encoder_parity():
                                        t_out[:, 0].numpy(), atol=1e-5)
             np.testing.assert_allclose(np.asarray(h[:, b]),
                                        t_h[:, 0].numpy(), atol=1e-5)
+            # the decoder is seeded with (h, c): the cell state matters too
+            np.testing.assert_allclose(np.asarray(c[:, b]),
+                                       t_c[:, 0].numpy(), atol=1e-5)
 
 
 class _RefVideo(nn.Module):

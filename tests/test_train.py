@@ -9,17 +9,22 @@ from mmqg_tpu.train import Trainer
 
 @pytest.fixture(scope="module")
 def trainer(tiny_config, tiny_corpus):
+    """A trainer that has ALREADY run fit(4) — the dependent tests (stats,
+    checkpoints, resume, validate) each need the trained state, so the fit
+    happens here rather than as a hidden side effect of test order."""
     train_ds = QGDataset(tiny_config, tiny_config.train_file)
     val_ds = QGDataset(tiny_config, tiny_config.val_file)
     emb = np.load(tiny_config.weights_matrix_file).astype(np.float32)
     mc = qg_model.ModelConfig.from_config(
         tiny_config, n_vocab=len(train_ds.vocab), mode="text")
-    return Trainer(tiny_config.replace(lr=5e-3), mc, emb, train_ds, val_ds,
-                   log_fn=lambda *a: None)
+    tr = Trainer(tiny_config.replace(lr=5e-3), mc, emb, train_ds, val_ds,
+                 log_fn=lambda *a: None)
+    tr.fit_result = tr.fit(epochs=4)
+    return tr
 
 
 def test_loss_decreases_over_epochs(trainer):
-    stats, best_epoch = trainer.fit(epochs=4)
+    stats, best_epoch = trainer.fit_result
     losses = stats["train"]["loss"]
     assert len(losses) == 4
     assert losses[-1] < losses[0], f"no learning: {losses}"
