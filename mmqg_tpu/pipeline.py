@@ -90,24 +90,37 @@ class QGPipeline:
                    vocab, index_to_word)
 
     # ----------------------------------------------------------- batching
+    @staticmethod
+    def _batch_bucket(n: int) -> int:
+        """Round the request count up to a power of two: every distinct
+        batch shape is a fresh XLA program (30 s - 10 min of remote compile
+        on this backend), so a serving process sees at most log2(max_batch)
+        compiles instead of one per distinct request-batch size. Padded
+        rows are empty examples; ``generate`` trims its outputs to n."""
+        b = 1
+        while b < n:
+            b <<= 1
+        return b
+
     def _pack(self, contexts: Sequence[str],
               frames: Optional[Sequence[Optional[np.ndarray]]],
               audio: Optional[Sequence[Optional[np.ndarray]]]) -> Dict:
         mc, config = self.mc, self.config
         n = len(contexts)
+        rows = self._batch_bucket(n)
         Lc, Tav = mc.context_max_length, mc.av_max_length
         H = W = mc.frame_size
         S = Tav * mc.sample_rate
         batch = {
-            "context_ids": np.zeros((n, Lc), np.int32),
-            "context_len": np.zeros((n,), np.int32),
-            "frames": np.zeros((n, Tav, H, W, 3), np.uint8),
-            "frames_len": np.ones((n,), np.int32),
-            "audio_pcm": np.zeros((n, S), np.int16),
-            "audio_len": np.zeros((n,), np.int32),
-            "target_ids": np.zeros((n, mc.target_steps), np.int32),
-            "target_len": np.ones((n,), np.int32),
-            "valid": np.ones((n,), bool),
+            "context_ids": np.zeros((rows, Lc), np.int32),
+            "context_len": np.ones((rows,), np.int32),
+            "frames": np.zeros((rows, Tav, H, W, 3), np.uint8),
+            "frames_len": np.ones((rows,), np.int32),
+            "audio_pcm": np.zeros((rows, S), np.int16),
+            "audio_len": np.zeros((rows,), np.int32),
+            "target_ids": np.zeros((rows, mc.target_steps), np.int32),
+            "target_len": np.ones((rows,), np.int32),
+            "valid": np.arange(rows) < n,
         }
         for i, text in enumerate(contexts):
             ids = np.asarray([self.vocab[w] for w in text.split()

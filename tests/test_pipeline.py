@@ -107,3 +107,20 @@ def test_data_parallel_evaluate_matches_single_device(trained):
 
     assert preds_dp == preds_ref
     assert bleu_dp == bleu_ref
+
+
+def test_pack_buckets_batch_sizes(trained):
+    """Request-batch sizes bucket to powers of two so serving sees at most
+    log2(max_batch) compiled programs, not one per distinct size."""
+    pipe = QGPipeline.from_checkpoint(trained, alias="best")
+    for n, rows in ((1, 1), (2, 2), (3, 4), (5, 8), (8, 8)):
+        batch = pipe._pack(["what is the value"] * n, None, None)
+        assert batch["context_ids"].shape[0] == rows, (n, rows)
+        assert batch["valid"][:n].all() and not batch["valid"][n:].any()
+        assert (batch["context_len"] >= 1).all()  # masked softmax safety
+
+    out = pipe.generate(["what is the value of the function",
+                         "the process of the system is the result",
+                         "how is the data model part"], strategy="greedy")
+    assert len(out) == 3
+    assert all(isinstance(s, str) for s in out)
