@@ -38,10 +38,13 @@ class Caption:
     text: str
 
 
-def _parse_ts(ts: str) -> float:
+def _parse_ts(ts: str) -> Optional[float]:
+    """None for malformed timestamps — a single bad cue must not abort a
+    whole-corpus prep run (the reference's pysrt/webvtt tolerate them too);
+    callers skip the cue."""
     m = _TS_RE.search(ts)
     if not m:
-        raise ValueError(f"bad timestamp: {ts!r}")
+        return None
     hh = int(m.group(1) or 0)
     return hh * 3600 + int(m.group(2)) * 60 + int(m.group(3)) + int(m.group(4)) / 1000.0
 
@@ -59,7 +62,10 @@ def parse_srt(text: str) -> List[Caption]:
             continue
         start_s, end_s = [p.strip() for p in lines[0].split("-->")[:2]]
         body = "\n".join(lines[1:])
-        captions.append(Caption(_parse_ts(start_s), _parse_ts(end_s), body))
+        start, end = _parse_ts(start_s), _parse_ts(end_s)
+        if start is None or end is None:
+            continue  # malformed cue: skip, don't abort the corpus
+        captions.append(Caption(start, end, body))
     return captions
 
 
@@ -77,7 +83,10 @@ def parse_vtt(text: str) -> List[Caption]:
         start_s, rest = lines[0].split("-->")
         end_s = rest.strip().split(" ")[0]
         body = "\n".join(lines[1:])
-        captions.append(Caption(_parse_ts(start_s), _parse_ts(end_s), body))
+        start, end = _parse_ts(start_s), _parse_ts(end_s)
+        if start is None or end is None:
+            continue  # malformed cue: skip, don't abort the corpus
+        captions.append(Caption(start, end, body))
     return captions
 
 

@@ -65,3 +65,15 @@ def test_assign_question_ids():
     qs = [{"a": 1}, {"a": 2}]
     out = assign_question_ids(5, qs)
     assert [q["question_id"] for q in out] == [5, 6]
+
+
+def test_extract_audio_fails_loudly_without_ffmpeg(tiny_config, monkeypatch):
+    """C3 (SURVEY.md §2): mp4 demux needs the ffmpeg binary; without it the
+    error must be explicit, not a silent skip."""
+    import shutil as _shutil
+
+    from mmqg_tpu.data import saliency
+
+    monkeypatch.setattr(_shutil, "which", lambda name: None)
+    with pytest.raises(RuntimeError, match="ffmpeg"):
+        saliency.extract_audio(tiny_config, "vid001")

@@ -78,3 +78,30 @@ def test_get_salient_text(tmp_path):
     # missing subs -> None (reference get_salient_text.py:66-67)
     q2 = dict(q, video_id="nope")
     assert get_salient_text(q2, tmp_path) is None
+
+
+def test_parsers_survive_garbage_input():
+    """Robustness: malformed subtitle text must yield captions or an empty
+    list, never an unhandled exception (real-world srt/vtt files are
+    messy; the prep pipeline processes hundreds unattended)."""
+    import random
+    import string
+
+    from mmqg_tpu.data.subtitles import parse_srt, parse_vtt
+
+    rng = random.Random(0)
+    samples = [
+        "", "\n\n\n", "WEBVTT", "1\n00:00:01,000 --> garbage\nhello",
+        "not a subtitle at all", "1\n\n2\n\n3\n\n",
+        "00:00:01.000 --> 00:00:02.000\n",  # vtt cue, no text
+        "1\n00:99:99,999 --> 00:00:00,000\nreversed times",
+    ]
+    for _ in range(30):
+        n = rng.randint(0, 200)
+        samples.append("".join(rng.choice(string.printable) for _ in range(n)))
+    for s in samples:
+        for parser in (parse_srt, parse_vtt):
+            caps = parser(s)
+            assert isinstance(caps, list)
+            for c in caps:
+                assert c.end >= 0 and c.start >= 0
