@@ -40,7 +40,11 @@ def read_wav(path: Path) -> Tuple[np.ndarray, int]:
         size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
         body = data[pos + 8:pos + 8 + size]
         if chunk_id == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(f"{path}: truncated fmt chunk")
             (audio_fmt, channels, rate, _br, _ba, bits) = struct.unpack("<HHIIHH", body[:16])
+            if channels < 1:
+                raise ValueError(f"{path}: zero channels")
             fmt = (audio_fmt, channels, rate, bits)
         elif chunk_id == b"data":
             samples = body

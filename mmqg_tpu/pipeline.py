@@ -181,6 +181,28 @@ class QGPipeline:
         seed: int = 0,
     ) -> List[str]:
         """Generate one question per input example."""
+        return self.generate_async(contexts, frames, audio,
+                                   strategy=strategy, beam_size=beam_size,
+                                   topk=topk, seed=seed)()
+
+    def generate_async(
+        self,
+        contexts: Sequence[str],
+        frames: Optional[Sequence[Optional[np.ndarray]]] = None,
+        audio: Optional[Sequence[Optional[np.ndarray]]] = None,
+        *,
+        strategy: str = "greedy",
+        beam_size: Optional[int] = None,
+        topk: int = 1,
+        seed: int = 0,
+    ):
+        """Dispatch the decode and return a zero-arg finalizer.
+
+        The jit dispatch is asynchronous — the device starts as soon as the
+        inputs are staged, and the host returns immediately. Calling the
+        finalizer blocks on the device and returns the ``List[str]``
+        questions. Lets a serving loop (mmqg_tpu.serve) pack and dispatch
+        batch N+1 while the device still decodes batch N."""
         n = len(contexts)
         batch = self._pack(contexts, frames, audio)
         # AV buckets from the HOST arrays: after device placement they would
@@ -203,7 +225,7 @@ class QGPipeline:
                 self.params, self.model_state, self.mc, batch,
                 jax.random.PRNGKey(seed), strategy=strategy, max_len=max_len,
                 k=topk, use_pallas=use_pallas, audio_cap=cap, frames_cap=fcap)
-        return self._to_words(toks)[:n]
+        return lambda: self._to_words(toks)[:n]
 
     def _shard_request(self, batch: Dict) -> Dict:
         """Pad the request to a data-axis multiple (padded rows are trimmed

@@ -63,8 +63,33 @@ def serve(pipe, *, strategy: str, max_batch: int, linger_ms: float,
     threading.Thread(target=reader, daemon=True).start()
     served = 0
     done = False
+    in_flight = None  # previous batch: dispatched to device, not yet flushed
+
+    def flush(infl):
+        """Block on a dispatched batch and write its responses."""
+        ms = (time.monotonic() - infl["t0"]) * 1000.0
+        try:
+            questions = infl["finalize"]()
+        except Exception as e:  # runtime failure: error every request in it
+            for rid in infl["ids"]:
+                out.write(json.dumps({"id": rid, "error": str(e)}) + "\n")
+            questions = []
+        for rid, question in zip(infl["ids"], questions):
+            if question is None:
+                continue  # per-request failure: its error is in errs
+            out.write(json.dumps({"id": rid, "question": question,
+                                  "batch_size": infl["n"],
+                                  "latency_ms": round(ms, 1)}) + "\n")
+        for rid, err in infl["errs"]:
+            out.write(json.dumps({"id": rid, "error": err}) + "\n")
+        out.flush()
+
     while not done:
-        # block for the first request, then linger for companions
+        # idle: flush the in-flight batch before blocking for new work, so
+        # its responses aren't held hostage to the next request arriving
+        if in_flight is not None and q.empty():
+            flush(in_flight)
+            in_flight = None
         first = q.get()
         if first is None:
             break
@@ -84,8 +109,8 @@ def serve(pipe, *, strategy: str, max_batch: int, linger_ms: float,
             pending.append(nxt)
 
         t0 = time.monotonic()
-        contexts, frames, audio, ids, errs = [], [], [], [], {}
-        for i, req in enumerate(pending):
+        contexts, frames, audio, ids, errs = [], [], [], [], []
+        for req in pending:
             try:
                 if "_parse_error" in req:
                     raise ValueError(req["_parse_error"])
@@ -95,37 +120,50 @@ def serve(pipe, *, strategy: str, max_batch: int, linger_ms: float,
                 audio.append(a)
                 ids.append(req.get("id"))
             except Exception as e:  # bad request must not kill the batch
-                errs[i] = (req.get("id") if isinstance(req, dict) else None,
-                           str(e))
-        questions: List[Optional[str]] = []
+                errs.append((req.get("id") if isinstance(req, dict)
+                             else None, str(e)))
+
+        finalize = None
         if contexts:
             try:
-                questions = pipe.generate(contexts, frames, audio,
-                                          strategy=strategy)
+                # async dispatch: the device decodes THIS batch while the
+                # loop goes back to gathering/packing the next one
+                finalize = pipe.generate_async(contexts, frames, audio,
+                                               strategy=strategy)
             except Exception:
                 # a request that loaded fine can still break batch packing
                 # (e.g. wrong frame geometry); degrade to per-request calls
                 # so one poisoned input errors alone, not the whole batch
-                questions = []
-                for j, ctx in enumerate(contexts):
-                    try:
-                        questions.append(pipe.generate(
-                            [ctx], [frames[j]], [audio[j]],
-                            strategy=strategy)[0])
-                    except Exception as e:
-                        errs[len(errs) + len(pending)] = (ids[j], str(e))
-                        questions.append(None)
-        ms = (time.monotonic() - t0) * 1000.0
-        for rid, question in zip(ids, questions):
-            if question is None:
-                continue  # already recorded in errs
-            out.write(json.dumps({"id": rid, "question": question,
-                                  "batch_size": len(contexts),
-                                  "latency_ms": round(ms, 1)}) + "\n")
-        for rid, err in errs.values():
-            out.write(json.dumps({"id": rid, "error": err}) + "\n")
-        out.flush()
+                def finalize(contexts=contexts, frames=frames, audio=audio,
+                             ids=ids, infl_errs=errs):
+                    qs = []
+                    for j, ctx in enumerate(contexts):
+                        try:
+                            qs.append(pipe.generate(
+                                [ctx], [frames[j]], [audio[j]],
+                                strategy=strategy)[0])
+                        except Exception as e:
+                            infl_errs.append((ids[j], str(e)))
+                            qs.append(None)  # placeholder keeps id alignment
+                    return qs
+
+        # overlap: the PREVIOUS batch flushes while this one decodes
+        if in_flight is not None:
+            flush(in_flight)
+            in_flight = None
+        if finalize is not None:
+            # the SAME list the fallback finalize appends per-request
+            # errors into — flush reads it after finalize() returns
+            in_flight = {"finalize": finalize, "ids": ids,
+                         "n": len(contexts), "errs": errs, "t0": t0}
+        elif errs:
+            for rid, err in errs:
+                out.write(json.dumps({"id": rid, "error": err}) + "\n")
+            out.flush()
         served += len(pending)
+
+    if in_flight is not None:
+        flush(in_flight)
     return served
 
 

@@ -68,3 +68,39 @@ def test_serve_malformed_line(served_pipe):
     responses = [json.loads(l) for l in out.getvalue().splitlines()]
     assert any("question" in r for r in responses)
     assert any("error" in r for r in responses)
+
+
+def test_serve_pipelines_batches(served_pipe):
+    """Two waves of requests: the loop dispatches wave N+1 while wave N is
+    in flight; all responses must still arrive, correctly attributed."""
+    pipe, cfg = served_pipe
+    lines = [json.dumps({"id": i, "context": "what is the value of the part"})
+             for i in range(6)]
+    inp = io.StringIO("\n".join(lines) + "\n")
+    out = io.StringIO()
+    n = serve(pipe, strategy="greedy", max_batch=2, linger_ms=5,
+              inp=inp, out=out)
+    assert n == 6
+    responses = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert sorted(r["id"] for r in responses) == list(range(6))
+    assert all("question" in r for r in responses)
+
+
+def test_serve_poisoned_batch_isolates_request(served_pipe, tmp_path):
+    """A request whose media loads but breaks batch packing must error alone
+    (per-request fallback), with the good requests still answered."""
+    pipe, cfg = served_pipe
+    bad = tmp_path / "wrong_geometry.npy"
+    np.save(bad, np.zeros((2, 224, 224, 3), np.uint8))  # wrong H/W
+    reqs = [
+        {"id": "good", "context": "what is the value"},
+        {"id": "poison", "context": "the process", "frames_npy": str(bad)},
+    ]
+    inp = io.StringIO("\n".join(json.dumps(r) for r in reqs) + "\n")
+    out = io.StringIO()
+    serve(pipe, strategy="greedy", max_batch=8, linger_ms=100,
+          inp=inp, out=out)
+    by_id = {r["id"]: r for r in
+             (json.loads(l) for l in out.getvalue().splitlines())}
+    assert "question" in by_id["good"]
+    assert "error" in by_id["poison"]

@@ -46,3 +46,29 @@ def test_clip_span():
     clip = wavio.clip_span(sig, rate, 2.0, 3.5)
     assert len(clip) == 1500
     assert clip[0] == 2000.0
+
+
+def test_wav_reader_survives_garbage(tmp_path):
+    """Truncated/corrupt wav files must raise a clean error or return data,
+    never crash the process or loop forever."""
+    import random
+
+    from mmqg_tpu.data import wav as wavio
+
+    rng = random.Random(0)
+    # a valid file, then progressively truncated copies + pure garbage
+    good = tmp_path / "good.wav"
+    wavio.write_wav(good, (np.arange(2000) % 321).astype(np.int16), 16000)
+    blob = good.read_bytes()
+    cases = [blob[:k] for k in (0, 4, 11, 12, 20, 44, 45, len(blob) // 2)]
+    cases += [bytes(rng.randrange(256) for _ in range(n))
+              for n in (0, 3, 30, 100)]
+    cases += [b"RIFF" + blob[4:20]]  # header-only
+    for i, payload in enumerate(cases):
+        p = tmp_path / f"c{i}.wav"
+        p.write_bytes(payload)
+        try:
+            samples, rate = wavio.read_wav(p)
+            assert rate >= 0 and samples.ndim in (1, 2)
+        except (ValueError, EOFError, OSError):
+            pass  # clean rejection is fine
