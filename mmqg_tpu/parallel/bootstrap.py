@@ -1,0 +1,57 @@
+"""Virtual-device bootstrap shared by tests/conftest.py and
+__graft_entry__.dryrun_multichip.
+
+Multi-chip sharding logic must be exercisable without N real TPU chips
+(SURVEY.md §4): JAX's CPU backend can present N virtual devices via
+``--xla_force_host_platform_device_count``.  Getting that to stick in this
+image has three traps, all handled here in ONE place so the test harness and
+the driver's dryrun gate cannot diverge (round-1 VERDICT.md item 1 — the gate
+was red because dryrun_multichip skipped this bootstrap and saw the single
+real 'axon' TPU):
+
+  1. The flag only takes effect if set before the CPU backend initialises.
+  2. The axon sitecustomize registers a TPU backend in every process and wins
+     over ``JAX_PLATFORMS`` from the environment, so the platform must also be
+     pinned through ``jax.config`` after import.
+  3. XLA:CPU's in-process collective rendezvous LOG(FATAL)s the whole process
+     if a participant thread is starved past a 40 s default — routine on a
+     1-core box during compiles — so the termination timeouts are raised to
+     degrade starvation to a warning (repro: scripts/repro_cpu_mesh_abort.py).
+
+This module must stay importable WITHOUT importing jax at module scope —
+callers import it before jax exists in the process.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def force_virtual_cpu_devices(n_devices: int = 8) -> None:
+    """Make this process see ``n_devices`` virtual CPU jax devices.
+
+    Idempotent. Must run before jax initialises its backends (importing jax
+    is fine; calling ``jax.devices()`` first is not). Raises RuntimeError if
+    the backend already initialised with too few devices.
+    """
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        flags = (flags +
+                 f" --xla_force_host_platform_device_count={n_devices}").strip()
+    if "collective_call_terminate_timeout" not in flags:
+        flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=300"
+                  " --xla_cpu_collective_call_warn_stuck_timeout_seconds=60"
+                  " --xla_cpu_collective_timeout_seconds=300")
+    os.environ["XLA_FLAGS"] = flags
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    have = jax.device_count()
+    if have < n_devices:
+        raise RuntimeError(
+            f"virtual-device bootstrap failed: wanted {n_devices} devices, "
+            f"backend initialised with {have} on platform "
+            f"{jax.devices()[0].platform!r}. force_virtual_cpu_devices() must "
+            "be called before any jax.devices()/jit call in the process.")

@@ -1,28 +1,11 @@
-"""Test harness: force an 8-device virtual CPU platform BEFORE jax imports so
-multi-chip sharding logic is exercised without TPU hardware (SURVEY.md §4)."""
+"""Test harness: force an 8-device virtual CPU platform BEFORE jax initialises
+so multi-chip sharding logic is exercised without TPU hardware (SURVEY.md §4).
+One shared bootstrap with the driver's dryrun gate — see
+mmqg_tpu/parallel/bootstrap.py for the why of each step."""
 
-import os
+from mmqg_tpu.parallel.bootstrap import force_virtual_cpu_devices
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the outer env may pin a TPU
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-# XLA:CPU's in-process collective rendezvous LOG(FATAL)s the whole process
-# ("Fatal Python error"/"Exiting to ensure a consistent program state",
-# rendezvous.cc) if any participant thread is starved past a 40 s default —
-# routine on this 1-core box when compiles or other tests share the core.
-# Raise the termination timeout so starvation degrades to a warning.
-if "collective_call_terminate_timeout" not in flags:
-    flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=300"
-              " --xla_cpu_collective_call_warn_stuck_timeout_seconds=60"
-              " --xla_cpu_collective_timeout_seconds=300")
-os.environ["XLA_FLAGS"] = flags
-
-# the axon sitecustomize registers a TPU backend in every process and wins
-# over the env var, so pin the platform through jax.config as well
-import jax  # noqa: E402
-
-jax.config.update("jax_platforms", "cpu")
+force_virtual_cpu_devices(8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
