@@ -155,9 +155,16 @@ def copy_checkpoint(ckpt_dir: Path, src_alias: str, dst_alias: str,
         if backend == "orbax":
             src, dst = _orbax_path(ckpt_dir, src_alias), _orbax_path(
                 ckpt_dir, dst_alias)
+            # atomic publish, mirroring the msgpack path: stage the copy
+            # into a temporary sibling, then rename over the destination —
+            # a crash mid-copy must not leave a partial dst_alias
+            tmp = dst.with_name(dst.name + ".tmp")
+            if tmp.exists():
+                shutil.rmtree(tmp, ignore_errors=True)
+            shutil.copytree(src, tmp)
             if dst.exists():
                 shutil.rmtree(dst, ignore_errors=True)
-            shutil.copytree(src, dst)
+            os.replace(tmp, dst)
             stale = ckpt_dir / f"{dst_alias}.msgpack"
         else:
             src = ckpt_dir / f"{src_alias}.msgpack"

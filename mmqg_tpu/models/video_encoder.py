@@ -102,9 +102,13 @@ def cnn_features(params: Dict, state: Dict, frames: jnp.ndarray, *,
             mean = (xf * m).sum(axis=(0, 1, 2)) / denom
             var = (((xf - mean) ** 2) * m).sum(axis=(0, 1, 2)) / denom
             momentum = 0.1
+            # torch updates running_var with the UNBIASED variance while
+            # normalising with the biased one (same rule as layers.batchnorm);
+            # here n = number of valid frames * H * W
+            var_unbiased = var * (denom / jnp.maximum(denom - 1.0, 1.0))
             new_bn_state.append({
                 "mean": (1 - momentum) * bn_s["mean"] + momentum * mean,
-                "var": (1 - momentum) * bn_s["var"] + momentum * var,
+                "var": (1 - momentum) * bn_s["var"] + momentum * var_unbiased,
                 "count": bn_s["count"] + 1,
             })
             x = ((xf - mean) * jax.lax.rsqrt(var + 1e-5) * bn["scale"]

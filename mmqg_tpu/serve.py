@@ -47,18 +47,22 @@ def serve(pipe, *, strategy: str, max_batch: int, linger_ms: float,
     """Run the serve loop until EOF on ``inp``; returns requests served."""
     inp = inp if inp is not None else sys.stdin
     out = out if out is not None else sys.stdout
-    q: "queue.Queue[Optional[dict]]" = queue.Queue()
+    # bounded: a producer faster than the device back-pressures on stdin
+    # instead of growing an unbounded request queue in memory
+    q: "queue.Queue[Optional[dict]]" = queue.Queue(maxsize=8 * max_batch)
 
     def reader():
-        for line in inp:
-            line = line.strip()
-            if not line:
-                continue
-            try:
-                q.put(json.loads(line))
-            except json.JSONDecodeError as e:
-                q.put({"_parse_error": str(e)})
-        q.put(None)  # EOF sentinel
+        try:
+            for line in inp:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    q.put(json.loads(line))
+                except json.JSONDecodeError as e:
+                    q.put({"_parse_error": str(e)})
+        finally:
+            q.put(None)  # EOF sentinel — even if the read loop raised
 
     threading.Thread(target=reader, daemon=True).start()
     served = 0
@@ -67,13 +71,15 @@ def serve(pipe, *, strategy: str, max_batch: int, linger_ms: float,
 
     def flush(infl):
         """Block on a dispatched batch and write its responses."""
-        ms = (time.monotonic() - infl["t0"]) * 1000.0
         try:
             questions = infl["finalize"]()
         except Exception as e:  # runtime failure: error every request in it
             for rid in infl["ids"]:
                 out.write(json.dumps({"id": rid, "error": str(e)}) + "\n")
             questions = []
+        # latency the client experiences: measured AFTER finalize() has
+        # materialised the result (finalize blocks on the device)
+        ms = (time.monotonic() - infl["t0"]) * 1000.0
         for rid, question in zip(infl["ids"], questions):
             if question is None:
                 continue  # per-request failure: its error is in errs
