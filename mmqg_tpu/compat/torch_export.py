@@ -94,20 +94,53 @@ def export_embedding(params: Dict) -> np.ndarray:
     return _np(params["table"])
 
 
+# inverse of torch_import's vggish key tables (audio_encoder.py layout docs)
+_VGGISH_CONV_KEYS = ("features.0", "features.3", "features.6", "features.8",
+                     "features.11", "features.13")
+_VGGISH_FC_KEYS = ("embeddings.0", "embeddings.2", "embeddings.4")
+
+
+def export_audio_encoder(params: Dict) -> Dict:
+    """audio_encoder params -> torchvggish-layout state_dict (the torch.hub
+    module the reference embedded as ``audio_enc.vggish``,
+    reference model/encoder.py:8-19)."""
+    out: Dict = {}
+    for conv, key in zip(params["convs"], _VGGISH_CONV_KEYS):
+        out[f"{key}.weight"] = np.transpose(_np(conv["w"]), (3, 2, 0, 1))
+        out[f"{key}.bias"] = _np(conv["b"])
+    for name, key in zip(("fc1", "fc2", "fc3"), _VGGISH_FC_KEYS):
+        out[f"{key}.weight"] = _np(params[name]["w"]).T
+        out[f"{key}.bias"] = _np(params[name]["b"])
+    return out
+
+
 def export_checkpoint(params: Dict, model_state: Dict) -> Tuple[Dict, Dict,
                                                                 Dict,
                                                                 np.ndarray]:
     """Full model params -> (av_sd, text_sd, dec_sd, embedding) matching the
-    reference's four checkpoint artifacts. The audio encoder has no
-    reference-trainable counterpart (the reference used frozen torch.hub
-    VGGish), so it is not part of the reference checkpoint contract."""
+    reference's four checkpoint artifacts (reference train.py:197-214).
+
+    ``av_sd`` follows the AudioVideoEncoder state_dict layout exactly:
+    ``video_enc.*`` keys for the conv-LSTM tower and ``audio_enc.vggish.*``
+    keys for the VGGish weights (the reference module registered the frozen
+    hub model, so its state_dict carries them). ``text_sd``/``dec_sd``
+    include the shared embedding copies torch would save
+    (``word_embeddings.weight`` / ``emb_layer.weight``,
+    reference model/encoder.py:87 and model/decoder.py:62)."""
     vp = params["video_enc"]
     channels = int(np.shape(vp["convs"][-1]["w"])[-1])
     in_dim = int(np.shape(vp["lstm"]["layers"][0]["wx"])[0])
     feat_hw = int(round((in_dim / channels) ** 0.5))
-    av_sd = export_video_encoder(vp,
-                                 {"bns": model_state["video_enc"]["bns"]},
-                                 feat_hw=feat_hw, channels=channels)
+    vid_sd = export_video_encoder(vp,
+                                  {"bns": model_state["video_enc"]["bns"]},
+                                  feat_hw=feat_hw, channels=channels)
+    av_sd = {f"video_enc.{k}": v for k, v in vid_sd.items()}
+    if "audio_enc" in params:
+        for k, v in export_audio_encoder(params["audio_enc"]).items():
+            av_sd[f"audio_enc.vggish.{k}"] = v
+    emb = export_embedding(params["embedding"])
     text_sd = export_text_encoder(params["text_enc"])
+    text_sd["word_embeddings.weight"] = emb
     dec_sd = export_attn_decoder(params["decoder"])
-    return av_sd, text_sd, dec_sd, export_embedding(params["embedding"])
+    dec_sd["emb_layer.weight"] = emb
+    return av_sd, text_sd, dec_sd, emb

@@ -108,7 +108,116 @@ def import_attn_decoder(sd: Dict, num_layers: int = 3) -> Dict:
     }
 
 
+def _conv3d_w(sd: Dict, key: str) -> Dict:
+    """torch Conv3d weight (O, I, kT, kH, kW) -> NDHWC kernel
+    (kT, kH, kW, I, O); torchvision video convs are bias-free."""
+    return {"w": np.transpose(_np(sd[f"{key}.weight"]), (2, 3, 4, 1, 0))}
+
+
+def import_video_resnet(sd: Dict, *, embed_dim: int = None) -> Tuple[Dict, Dict]:
+    """torchvision ``r2plus1d_18`` state_dict -> (params, state) for
+    mmqg_tpu.models.video_resnet (the reference's alternative backbone,
+    model/encoder.py:21-29, constructed with ``pretrained=True``).
+
+    torchvision layout (videoresnet.py): ``stem.{0,3}`` spatial/temporal
+    convs with ``stem.{1,4}`` BNs; ``layer{1..4}.{0,1}`` BasicBlocks whose
+    ``conv{1,2}`` are Sequential(Conv2Plus1D, BN[, ReLU]) with Conv2Plus1D =
+    Sequential(spatial conv, mid BN, ReLU, temporal conv) — i.e. keys
+    ``convN.0.0`` (spatial), ``convN.0.1`` (mid BN), ``convN.0.3``
+    (temporal), ``convN.1`` (post BN); ``layer{2,3,4}.0.downsample.{0,1}``;
+    ``fc``. The midplane formula matches (Tran et al. CVPR 2018), so shapes
+    line up 1:1. Pass ``embed_dim=400`` to keep the Kinetics-400 fc head,
+    None to drop it (pooled 512-d features, what the reference's wrapper
+    consumed)."""
+    params: Dict = {
+        "stem_s": _conv3d_w(sd, "stem.0"),
+        "stem_t": _conv3d_w(sd, "stem.3"),
+        "stages": [],
+    }
+    state: Dict = {"stages": []}
+    params["stem_bn"], state["stem_bn"] = _bn(sd, "stem.1")
+    params["stem_bn2"], state["stem_bn2"] = _bn(sd, "stem.4")
+    for si in range(4):
+        blocks_p, blocks_s = [], []
+        for bi in range(2):
+            pre = f"layer{si + 1}.{bi}"
+            bp: Dict = {}
+            bs: Dict = {}
+            for cn in ("conv1", "conv2"):
+                mid_bn_p, mid_bn_s = _bn(sd, f"{pre}.{cn}.0.1")
+                bp[cn] = {"spatial": _conv3d_w(sd, f"{pre}.{cn}.0.0"),
+                          "temporal": _conv3d_w(sd, f"{pre}.{cn}.0.3"),
+                          "bn_mid": mid_bn_p}
+                bs[cn] = {"bn_mid": mid_bn_s}
+            bp["bn1"], bs["bn1"] = _bn(sd, f"{pre}.conv1.1")
+            bp["bn2"], bs["bn2"] = _bn(sd, f"{pre}.conv2.1")
+            if f"{pre}.downsample.0.weight" in sd:
+                bp["down"] = _conv3d_w(sd, f"{pre}.downsample.0")
+                bp["down_bn"], bs["down_bn"] = _bn(sd, f"{pre}.downsample.1")
+            blocks_p.append(bp)
+            blocks_s.append(bs)
+        params["stages"].append(blocks_p)
+        state["stages"].append(blocks_s)
+    if embed_dim is not None:
+        params["fc"] = _linear(sd, "fc")
+    return params, state
+
+
 def import_embedding(weight) -> Dict:
     """learned_weight.pt tensor -> embedding params (float32 — the
     reference's int64 cast bug is not reproduced)."""
     return {"table": _np(weight)}
+
+
+def _strip_prefix(sd: Dict, prefix: str) -> Dict:
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def import_checkpoint(av_sd: Dict, text_sd: Dict, dec_sd: Dict, emb_weight,
+                      mc) -> Tuple[Dict, Dict]:
+    """Compose the reference's FOUR checkpoint artifacts into one qg_model
+    (params, state) pytree — the full-model import the reference's
+    evaluate.py performs (reference evaluate.py:168-212 loads av_model.pth /
+    text_enc_model.pth / dec_model.pth / learned_weight.pt and rebuilds the
+    three modules around the shared embedding).
+
+    ``av_sd`` is the AudioVideoEncoder state_dict: ``video_enc.*`` keys
+    (VideoConvLstmEncoder) and — when present — ``audio_enc.vggish.*`` keys
+    (the torch.hub VGGish the reference froze, model/encoder.py:8-19).
+    ``text_sd``/``dec_sd`` may contain the shared embedding under torch's
+    ``word_embeddings.weight`` / ``emb_layer.weight`` names; those copies are
+    ignored — ``emb_weight`` (learned_weight.pt) is the single source.
+    ``mc`` is the qg_model.ModelConfig matching the checkpoint's dims.
+    """
+    if mc.decoder != "attn":
+        raise ValueError("reference checkpoints are attention-decoder models "
+                         "(reference train.py:248-258)")
+    params: Dict = {
+        "embedding": import_embedding(emb_weight),
+        "text_enc": import_text_encoder(text_sd, mc.text_layers),
+        "decoder": import_attn_decoder(dec_sd, mc.dec_layers),
+    }
+    state: Dict = {}
+    if mc.mode in ("text_video", "trimodal"):
+        vid_sd = _strip_prefix(av_sd, "video_enc.")
+        channels = 10                       # reference conv4 out channels
+        feat_hw = int(round((mc.flatten_dim / channels) ** 0.5))
+        vparams, vstate = import_video_encoder(vid_sd, feat_hw=feat_hw,
+                                               channels=channels)
+        params["video_enc"] = vparams
+        state["video_enc"] = vstate
+    if mc.mode == "trimodal":
+        import jax
+        from mmqg_tpu.models import audio_encoder
+        template = audio_encoder.init(
+            jax.random.PRNGKey(0), mel_frames=mc.mel_frames,
+            mel_bins=mc.mel_bins, embedding_dim=mc.audio_emb_dim)
+        aud_sd = _strip_prefix(av_sd, "audio_enc.vggish.")
+        if aud_sd:
+            params["audio_enc"] = audio_encoder.load_vggish_state_dict(
+                template, aud_sd)
+        else:
+            # reference checkpoints made with a hub download at load time
+            # may omit the frozen VGGish weights; fall back to fresh init
+            params["audio_enc"] = template
+    return params, state

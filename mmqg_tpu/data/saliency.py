@@ -63,16 +63,22 @@ def extract_salient_frames_for_video(
     while True:
         frame_id = cap.get(cv2.CAP_PROP_POS_FRAMES)
         frame_time = cap.get(cv2.CAP_PROP_POS_MSEC)
-        ok, image = cap.read()
-        if not ok:
+        # grab() advances the decoder without the BGR convert + frame copy
+        # that read() pays; retrieve() materialises ONLY the ~1 fps samples
+        # we keep (reference get_salient_frames.py:26-43 read() every frame).
+        if not cap.grab():
             break
         if frame_id % frame_rate != 0:
             continue
-        resized: Optional[np.ndarray] = None
+        wanted = any(is_salient(frame_time, s, e) for s, e in spans_ms)
+        if not wanted:
+            continue
+        ok, image = cap.retrieve()
+        if not ok:
+            break
+        resized = cv2.resize(image, frame_dim, interpolation=cv2.INTER_AREA)
         for i, (start_ms, end_ms) in enumerate(spans_ms):
             if is_salient(frame_time, start_ms, end_ms):
-                if resized is None:
-                    resized = cv2.resize(image, frame_dim, interpolation=cv2.INTER_AREA)
                 per_span[i].append(resized)
     cap.release()
     return [
@@ -82,11 +88,17 @@ def extract_salient_frames_for_video(
     ]
 
 
-def save_salient_frames(config, questions: List[Dict]) -> int:
+def save_salient_frames(config, questions: List[Dict],
+                        workers: Optional[int] = None) -> int:
     """Batch frame extraction for a labelled-questions corpus, grouped by
     video (single decode per video). Writes the reference's artifact layout:
     ``salient_frames/v_{video_id}_q_{question_id}_.npy``
-    (reference get_salient_frames.py:47)."""
+    (reference get_salient_frames.py:47).
+
+    ``workers``: videos decode concurrently on a thread pool (cv2's decoder
+    releases the GIL); default = os.cpu_count(), capped by the video count.
+    Decode is the prep bottleneck (SURVEY.md §3.4) and is per-video
+    independent, so throughput scales ~linearly with host cores."""
     out_dir = Path(config.salient_frames_path)
     out_dir.mkdir(parents=True, exist_ok=True)
     by_video: Dict[str, List[Dict]] = {}
@@ -95,16 +107,24 @@ def save_salient_frames(config, questions: List[Dict]) -> int:
             break  # reference stops at first empty record (get_salient_frames.py:67-68)
         by_video.setdefault(str(q["video_id"]), []).append(q)
 
-    n_written = 0
     size = (config.frame_size, config.frame_size)
-    for video_id, qs in by_video.items():
+
+    def one_video(item) -> int:
+        video_id, qs = item
         video_file = Path(config.video_path) / f"{video_id}.mp4"
         spans = [parse_span_ms(q["answer_start"], q["answer_end"]) for q in qs]
         frames_per_q = extract_salient_frames_for_video(video_file, spans, size)
         for q, frames in zip(qs, frames_per_q):
             np.save(out_dir / f"v_{video_id}_q_{q['question_id']}_.npy", frames)
-            n_written += 1
-    return n_written
+        return len(qs)
+
+    items = list(by_video.items())
+    n_workers = min(workers or os.cpu_count() or 1, max(len(items), 1))
+    if n_workers <= 1:
+        return sum(one_video(it) for it in items)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=n_workers) as pool:
+        return sum(pool.map(one_video, items))
 
 
 def extract_audio(config, video_id: str) -> Path:

@@ -85,9 +85,10 @@ def frames_bucket(mc: qg_model.ModelConfig, frames_len) -> int:
 
 
 @partial(jax.jit, static_argnames=("mc", "use_pallas", "audio_cap",
-                                   "frames_cap"))
+                                   "frames_cap", "dtype"))
 def encode_jit(params, state, mc: qg_model.ModelConfig, batch,
-               use_pallas: bool = True, audio_cap=None, frames_cap=None):
+               use_pallas: bool = True, audio_cap=None, frames_cap=None,
+               dtype=jnp.bfloat16):
     """Jitted tri-modal encode producing decoder memories + init state.
 
     Kept as a SEPARATE program from the decode scan on purpose: one combined
@@ -98,12 +99,12 @@ def encode_jit(params, state, mc: qg_model.ModelConfig, batch,
     mem, dec_state, _ = qg_model.encode(params, state, mc, batch, train=False,
                                         use_pallas=use_pallas,
                                         audio_cap=audio_cap,
-                                        frames_cap=frames_cap)
+                                        frames_cap=frames_cap, dtype=dtype)
     return mem, dec_state
 
 
 @partial(jax.jit, static_argnames=("strategy", "max_len", "k", "use_pallas",
-                                   "dec_kind"))
+                                   "dec_kind", "dtype"))
 def decode_from_memories(
     params: Dict,
     mem: D.Memories,
@@ -115,6 +116,7 @@ def decode_from_memories(
     k: int = 1,
     use_pallas: bool = True,
     dec_kind: str = "attn",
+    dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """Jitted token-generation scan over pre-computed memories."""
     B = mem.enc_text.shape[0]
@@ -126,11 +128,11 @@ def decode_from_memories(
         if dec_kind == "attn":
             logits, new_state, _ = D.step(params["decoder"], emb_table, tok,
                                           mem, dec_state, train=False,
-                                          use_pallas=use_pallas)
+                                          use_pallas=use_pallas, dtype=dtype)
         else:
             logits, new_state = D.non_attn_step(params["decoder"], emb_table,
                                                 tok, av_vec, dec_state,
-                                                train=False)
+                                                train=False, dtype=dtype)
         nxt = _select_token(strategy, logits, jax.random.fold_in(rng, t), k)
         nxt = jnp.where(finished, PAD_ID, nxt)
         # PAD is terminal too: hosts truncate at the first PAD/END
@@ -158,6 +160,7 @@ def decode_batch(
     use_pallas: bool = True,
     audio_cap: Optional[int] = None,
     frames_cap: Optional[int] = None,
+    dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """Returns token ids (B, max_len); PAD after <end>. <end> itself is kept
     so hosts can see the stop (and strip it, reference evaluate.py:101-103).
@@ -167,10 +170,12 @@ def decode_batch(
     lives on device already (computing from device arrays costs a host sync)
     — loaders know them for free from host metadata."""
     cap, fcap = _caps(mc, batch, audio_cap, frames_cap)
-    mem, dec_state = encode_jit(params, state, mc, batch, use_pallas, cap, fcap)
+    mem, dec_state = encode_jit(params, state, mc, batch, use_pallas, cap,
+                                fcap, dtype)
     return decode_from_memories(params, mem, dec_state, rng,
                                 strategy=strategy, max_len=max_len, k=k,
-                                use_pallas=use_pallas, dec_kind=mc.decoder)
+                                use_pallas=use_pallas, dec_kind=mc.decoder,
+                                dtype=dtype)
 
 
 @partial(jax.jit, static_argnames=("mc", "strategy", "max_len", "k",

@@ -144,9 +144,16 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
     mesh = None
     params, model_state = train_state["params"], train_state["model_state"]
     if args.data_parallel and len(jax.devices()) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
         from mmqg_tpu.parallel import make_mesh, shard_params
         mesh = make_mesh()  # all devices on the data axis
         params = shard_params(params, mesh)
+        # model_state (BN stats) replicates explicitly, mirroring
+        # Trainer._place_on_mesh — without this GSPMD would have to infer
+        # placement from single-device inputs (tested: mesh_eval parity in
+        # tests/parallel_cases.py)
+        model_state = jax.device_put(model_state,
+                                     NamedSharding(mesh, PartitionSpec()))
 
     predictions, bleu = evaluate(
         params, model_state, mc, dataset,

@@ -72,7 +72,11 @@ def embed_examples(params: Dict, mel: jnp.ndarray, *, dtype=jnp.bfloat16) -> jnp
     x = x.reshape(x.shape[0], -1)
     x = jax.nn.relu(L.dense(params["fc1"], x, dtype=dtype))
     x = jax.nn.relu(L.dense(params["fc2"], x, dtype=dtype))
-    return L.dense(params["fc3"], x, dtype=dtype)
+    # torchvggish's embedding head ends in ReLU (its ``embeddings``
+    # Sequential: Linear/ReLU x3) — the reference's audio features
+    # (reference model/encoder.py:16-19, postprocess=False) are therefore
+    # non-negative; match so ported weights reproduce them exactly
+    return jax.nn.relu(L.dense(params["fc3"], x, dtype=dtype))
 
 
 def calibrate_int8_scales(params: Dict, mel: jnp.ndarray, *,
@@ -161,7 +165,7 @@ def embed_examples_int8(params: Dict, mel: jnp.ndarray, *,
     x = x.reshape(x.shape[0], -1)
     x = jax.nn.relu(L.dense(params["fc1"], x, dtype=dtype))
     x = jax.nn.relu(L.dense(params["fc2"], x, dtype=dtype))
-    return L.dense(params["fc3"], x, dtype=dtype)
+    return jax.nn.relu(L.dense(params["fc3"], x, dtype=dtype))
 
 
 # torchvggish state_dict layout -> our pytree. Conv weights are (O, I, H, W)

@@ -169,4 +169,4 @@ def embed_examples_pallas(params: Dict, mel: jnp.ndarray, *,
     x = vggish_features_pallas(params, mel, dtype=dtype, interpret=interpret)
     x = jax.nn.relu(L.dense(params["fc1"], x, dtype=dtype))
     x = jax.nn.relu(L.dense(params["fc2"], x, dtype=dtype))
-    return L.dense(params["fc3"], x, dtype=dtype)
+    return jax.nn.relu(L.dense(params["fc3"], x, dtype=dtype))

@@ -227,6 +227,83 @@ class QGPipeline:
                 k=topk, use_pallas=use_pallas, audio_cap=cap, frames_cap=fcap)
         return lambda: self._to_words(toks)[:n]
 
+    # ------------------------------------------------ raw-video end-to-end
+    def generate_from_video(
+        self,
+        video_path,
+        spans: Sequence,
+        *,
+        subtitles=None,
+        contexts: Optional[Sequence[str]] = None,
+        audio_path=None,
+        strategy: str = "greedy",
+        beam_size: Optional[int] = None,
+        topk: int = 1,
+        seed: int = 0,
+    ) -> List[str]:
+        """Videos in, questions out — the full end-to-end path the north star
+        names (BASELINE.json): host demux/decode -> salient frame sampling ->
+        wav span slicing -> subtitle context extraction -> jitted decode.
+
+        ``spans``: one (start, end) per question, each either seconds
+        (numbers) or the reference's "M:SS" strings
+        (labelled_questions.json schema). The video is decoded ONCE for all
+        spans (data.saliency one-pass design). ``subtitles``: optional
+        .srt/.vtt path; each span's context is the overlapping captions
+        (reference get_salient_text.py semantics, normalised by
+        data.text_prep like the training corpus). ``contexts`` overrides
+        subtitles with explicit transcript text. ``audio_path``: optional
+        wav of the video's audio track (reference get_audio.py layout); when
+        absent and ffmpeg exists the track is extracted to a temp wav; with
+        neither, audio is omitted (text+video mode inputs).
+        """
+        from mmqg_tpu.data import saliency, wav as wavio
+        from mmqg_tpu.data.subtitles import span_seconds
+        from mmqg_tpu.data.text_prep import preprocess_text
+
+        def _sec(v) -> float:
+            return float(span_seconds(v)) if isinstance(v, str) else float(v)
+
+        spans_s = [(_sec(a), _sec(b)) for a, b in spans]
+        spans_ms = [(int(a * 1000), int(b * 1000)) for a, b in spans_s]
+
+        frames = saliency.extract_salient_frames_for_video(
+            video_path, spans_ms,
+            frame_dim=(self.mc.frame_size, self.mc.frame_size))
+
+        # ---- contexts: explicit > subtitles > empty
+        if contexts is None:
+            contexts = [""] * len(spans_s)
+            if subtitles is not None:
+                from mmqg_tpu.data.subtitles import extract_context, parse_subtitle_file
+                caps = parse_subtitle_file(subtitles)
+                contexts = [extract_context(caps, a, b) or ""
+                            for a, b in spans_s]
+        contexts = [preprocess_text(c) or "" for c in contexts]
+
+        # ---- audio: slice each span from the video's wav track
+        audio: Optional[List[Optional[np.ndarray]]] = None
+        if audio_path is None and self.mc.mode == "trimodal":
+            import shutil
+            if shutil.which("ffmpeg"):
+                import subprocess, tempfile
+                tmp = tempfile.NamedTemporaryFile(suffix=".wav", delete=False)
+                tmp.close()
+                subprocess.run(
+                    ["ffmpeg", "-hide_banner", "-loglevel", "panic", "-y",
+                     "-i", str(video_path), "-ac", "1",
+                     "-ar", str(self.mc.sample_rate), "-vn", tmp.name],
+                    check=True)
+                audio_path = tmp.name
+        if audio_path is not None:
+            pcm = wavio.load_mono_16k(audio_path,
+                                      target_rate=self.mc.sample_rate)
+            audio = [wavio.clip_span(pcm, self.mc.sample_rate, a, b)
+                     for a, b in spans_s]
+
+        return self.generate(contexts, frames, audio, strategy=strategy,
+                             beam_size=beam_size, topk=topk, seed=seed)
+
     def _shard_request(self, batch: Dict) -> Dict:
         """Pad the request to a data-axis multiple (padded rows are trimmed
         by generate()) and place it batch-over-data on the mesh."""

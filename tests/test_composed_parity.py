@@ -1,0 +1,80 @@
+"""Composed FULL-MODEL parity against a live torch reference build.
+
+Round-1 proved each module's import against a torch oracle in isolation
+(tests/test_torch_import.py); this file proves the COMPOSITION: the
+reference's full model is built in live torch (construction per reference
+train.py:236-258), its four state_dicts (av / text_enc / dec / shared
+embedding — reference train.py:197-214) are imported with
+``compat.torch_import.import_checkpoint``, and the jax model must produce
+
+  * identical per-step teacher-forced logits (reference train.py:171-175), and
+  * identical greedy decode tokens through the real serving path
+    (``decode.decode_batch``; reference evaluate.py:70-103 semantics)
+
+on synthetic multi-modal inputs with non-trivial lengths. This is the
+load-bearing leg of BASELINE.md's matched-BLEU argument: a reference-trained
+checkpoint is served here bit-compatibly (f32, atol 2e-4).
+
+The torch oracle (tests/torch_ref.py) implements the reference's INTENDED
+semantics with its bugs fixed as documented (PARITY.md): real length masks
+(the reference's masking at model/decoder.py:79,85,93 indexes the batch dim —
+a no-op), audio memory as (N_examples, 128) attention rows (the reference's
+F.pad at train.py:156 is shape-inconsistent for its flattened (1, 128*N)
+audio row), audio attention masked by the audio example count (the reference
+reused enc_frames).
+
+Dims are scaled (hidden 16, context 12, AV 4, mel 32x32) so the test runs in
+seconds on CPU while keeping every layout translation non-trivial: the video
+feature map is 3x3x10 and the VGGish feature map 2x2x512, so the NCHW->NHWC
+flatten-order permutations are exercised for both LSTM and fc1 inputs.
+scripts/composed_parity_full.py runs the identical check (same shared code)
+at full reference dims; its result is recorded in PARITY.md.
+"""
+
+import numpy as np
+import pytest
+
+from mmqg_tpu.compat import torch_export as TE
+from tests.torch_ref import Dims, build_composed, check_greedy, check_teacher_forced
+
+DIMS = Dims(V=40, EMB=8, H=16, NL=3, HV=16, HA=8, CTX_MAX=12, AV_MAX=4,
+            TGT=6, FRAME=45, MEL_F=32, MEL_B=32, RATE=1600, WIN=64, HOP=32)
+
+
+@pytest.fixture(scope="module")
+def composed():
+    return build_composed(DIMS, seed=0)
+
+
+def test_composed_teacher_forced_logits(composed):
+    check_teacher_forced(composed, DIMS, atol=2e-4)
+
+
+def test_composed_greedy_decode_tokens(composed):
+    check_greedy(composed, DIMS)
+
+
+def test_composed_export_round_trip(composed):
+    """Imported reference checkpoint -> export_checkpoint reproduces the
+    original four state_dicts (fixpoint through the composed mapping)."""
+    modules, mc, params, state, batch = composed
+    av2, text2, dec2, emb2 = TE.export_checkpoint(params, state)
+    orig_av = {f"video_enc.{k}": v.numpy()
+               for k, v in modules["video"].state_dict().items()}
+    orig_av.update({f"audio_enc.vggish.{k}": v.numpy()
+                    for k, v in modules["vggish"].state_dict().items()})
+    for k, v in orig_av.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        if ".bias_ih_l" in k or ".bias_hh_l" in k:
+            continue  # summed-bias convention (torch_export module doc)
+        np.testing.assert_allclose(av2[k], v, atol=1e-6, err_msg=k)
+    # summed LSTM biases are functionally identical: ih+hh preserved
+    for k in orig_av:
+        if ".bias_ih_l" in k:
+            hh = k.replace("bias_ih", "bias_hh")
+            np.testing.assert_allclose(av2[k] + av2[hh],
+                                       orig_av[k] + orig_av[hh], atol=1e-6)
+    np.testing.assert_allclose(emb2,
+                               modules["emb"].weight.detach().numpy(),
+                               atol=1e-6)

@@ -109,6 +109,48 @@ def test_data_parallel_evaluate_matches_single_device(trained):
     assert bleu_dp == bleu_ref
 
 
+def test_generate_from_video_end_to_end(trained, tmp_path):
+    """Raw-video -> questions (the north star's wording): one mp4 decode,
+    span-sliced frames + audio, subtitle-derived contexts, jitted decode.
+    ffmpeg is absent in this image so the audio track is passed as a wav
+    (the reference's get_audio.py artifact layout)."""
+    cv2 = pytest.importorskip("cv2")
+    from mmqg_tpu.data import wav as wavio
+
+    fps, seconds, size = 10, 6, (64, 48)
+    video = tmp_path / "vid.mp4"
+    vw = cv2.VideoWriter(str(video), cv2.VideoWriter_fourcc(*"mp4v"),
+                         fps, size)
+    assert vw.isOpened()
+    for i in range(seconds * fps):
+        vw.write(np.full((size[1], size[0], 3), (i * 3) % 255, np.uint8))
+    vw.release()
+
+    rate = trained.audio_sample_rate
+    pcm = (0.2 * np.sin(np.linspace(0, 80 * np.pi, seconds * rate))
+           ).astype(np.float32)
+    track = tmp_path / "vid.wav"
+    wavio.write_wav(track, pcm, rate)
+
+    subs = tmp_path / "vid.srt"
+    subs.write_text(
+        "1\n00:00:00,000 --> 00:00:03,000\nWhat is the process\n\n"
+        "2\n00:00:03,000 --> 00:00:06,000\nthe value of the system\n\n")
+
+    pipe = QGPipeline.from_checkpoint(trained, alias="best")
+    out = pipe.generate_from_video(
+        video, spans=[(1.0, 3.0), ("0:03", "0:05")],  # seconds AND "M:SS"
+        subtitles=subs, audio_path=track, strategy="greedy")
+    assert len(out) == 2
+    assert all(isinstance(s, str) for s in out)
+
+    # context extraction picked the overlapping captions per span
+    out2 = pipe.generate_from_video(
+        video, spans=[(1.0, 3.0)], contexts=["what is the process"],
+        audio_path=track)
+    assert len(out2) == 1
+
+
 def test_pack_buckets_batch_sizes(trained):
     """Request-batch sizes bucket to powers of two so serving sees at most
     log2(max_batch) compiled programs, not one per distinct size."""

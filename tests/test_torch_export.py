@@ -73,7 +73,30 @@ def test_embedding_round_trip(flagship_params):
 def test_export_checkpoint_shapes(flagship_params):
     mc, params, state = flagship_params
     av, text, dec, emb = TE.export_checkpoint(params, state)
-    assert "conv1.weight" in av and "lstm.weight_ih_l0" in av
-    assert "lstm.weight_ih_l2" in text
+    assert "video_enc.conv1.weight" in av and "video_enc.lstm.weight_ih_l0" in av
+    assert "audio_enc.vggish.features.0.weight" in av
+    assert "audio_enc.vggish.embeddings.4.weight" in av
+    assert "lstm.weight_ih_l2" in text and "word_embeddings.weight" in text
     assert "out_layer.weight" in dec and "text_attn.weight" in dec
+    assert "emb_layer.weight" in dec
     assert emb.shape == (50, 8) and emb.dtype == np.float32
+
+
+def test_full_checkpoint_round_trip_fixpoint(flagship_params):
+    """export -> import -> export must be a fixpoint (and import must recover
+    the exact pytrees) — the composed contract of reference train.py:197-214
+    and evaluate.py:168-212."""
+    mc, params, state = flagship_params
+    av, text, dec, emb = TE.export_checkpoint(params, state)
+    p2, s2 = TI.import_checkpoint(av, text, dec, emb, mc)
+    for key in ("embedding", "text_enc", "decoder", "video_enc", "audio_enc"):
+        _assert_trees_equal(params[key], p2[key])
+    for bn_a, bn_b in zip(state["video_enc"]["bns"], s2["video_enc"]["bns"]):
+        np.testing.assert_allclose(bn_a["mean"], bn_b["mean"], atol=1e-6)
+        np.testing.assert_allclose(bn_a["var"], bn_b["var"], atol=1e-6)
+    av2, text2, dec2, emb2 = TE.export_checkpoint(p2, s2)
+    assert set(av2) == set(av) and set(text2) == set(text) and set(dec2) == set(dec)
+    for sd1, sd2 in ((av, av2), (text, text2), (dec, dec2)):
+        for k in sd1:
+            np.testing.assert_allclose(sd1[k], sd2[k], atol=1e-6, err_msg=k)
+    np.testing.assert_allclose(emb, emb2, atol=1e-6)

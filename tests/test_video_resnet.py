@@ -25,3 +25,104 @@ def test_fc_head():
 def test_midplanes_formula():
     # r2plus1d midplane count (Tran et al.): 3*3*3*64*64/(3*3*64+3*64) = 144
     assert video_resnet._midplanes(64, 64) == 144
+
+
+# ---------------------------------------------------- torchvision weight port
+
+def _torch_r2plus1d_18(num_classes=400):
+    """Live-torch r2plus1d_18 with torchvision's EXACT module nesting and
+    state_dict key layout (torchvision models/video/resnet.py — torchvision
+    itself is absent from this image, so the topology is re-stated here from
+    the published architecture; the reference constructed it with
+    pretrained=True, reference model/encoder.py:21-29)."""
+    import torch
+    from torch import nn
+
+    def midplanes(cin, cout):
+        return (cin * cout * 3 * 3 * 3) // (cin * 3 * 3 + 3 * cout)
+
+    def conv2plus1d(cin, cout, mid, stride=1):
+        return nn.Sequential(
+            nn.Conv3d(cin, mid, (1, 3, 3), stride=(1, stride, stride),
+                      padding=(0, 1, 1), bias=False),
+            nn.BatchNorm3d(mid), nn.ReLU(True),
+            nn.Conv3d(mid, cout, (3, 1, 1), stride=(stride, 1, 1),
+                      padding=(1, 0, 0), bias=False))
+
+    class Block(nn.Module):
+        def __init__(self, cin, cout, stride=1):
+            super().__init__()
+            self.conv1 = nn.Sequential(
+                conv2plus1d(cin, cout, midplanes(cin, cout), stride),
+                nn.BatchNorm3d(cout), nn.ReLU(True))
+            self.conv2 = nn.Sequential(
+                conv2plus1d(cout, cout, midplanes(cout, cout)),
+                nn.BatchNorm3d(cout))
+            self.downsample = None
+            if stride != 1 or cin != cout:
+                self.downsample = nn.Sequential(
+                    nn.Conv3d(cin, cout, 1, stride=stride, bias=False),
+                    nn.BatchNorm3d(cout))
+            self.relu = nn.ReLU(True)
+
+        def forward(self, x):
+            out = self.conv2(self.conv1(x))
+            identity = self.downsample(x) if self.downsample else x
+            return self.relu(out + identity)
+
+    class R2Plus1D18(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = nn.Sequential(
+                nn.Conv3d(3, 45, (1, 7, 7), stride=(1, 2, 2),
+                          padding=(0, 3, 3), bias=False),
+                nn.BatchNorm3d(45), nn.ReLU(True),
+                nn.Conv3d(45, 64, (3, 1, 1), padding=(1, 0, 0), bias=False),
+                nn.BatchNorm3d(64), nn.ReLU(True))
+            self.layer1 = nn.Sequential(Block(64, 64), Block(64, 64))
+            self.layer2 = nn.Sequential(Block(64, 128, 2), Block(128, 128))
+            self.layer3 = nn.Sequential(Block(128, 256, 2), Block(256, 256))
+            self.layer4 = nn.Sequential(Block(256, 512, 2), Block(512, 512))
+            self.fc = nn.Linear(512, num_classes)
+
+        def forward(self, x):                  # (N, 3, T, H, W)
+            x = self.stem(x)
+            x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+            x = x.mean(dim=(2, 3, 4))          # global avg pool
+            return self.fc(x)
+
+    torch.manual_seed(0)
+    m = R2Plus1D18().eval()
+    with torch.no_grad():                      # non-trivial running stats
+        for mod in m.modules():
+            if isinstance(mod, nn.BatchNorm3d):
+                mod.running_mean.uniform_(-0.1, 0.1)
+                mod.running_var.uniform_(0.9, 1.1)
+    return m
+
+
+def test_torchvision_weight_port_parity():
+    """import_video_resnet on a torchvision-layout state_dict must reproduce
+    the torch forward exactly (pooled features AND the fc head) — the
+    pretrained-r2plus1d_18 import path (VERDICT r1 missing #4)."""
+    import torch
+
+    from mmqg_tpu.compat.torch_import import import_video_resnet
+
+    m = _torch_r2plus1d_18()
+    sd = {k: v.numpy() for k, v in m.state_dict().items()}
+    params, state = import_video_resnet(sd, embed_dim=400)
+
+    rng = np.random.RandomState(3)
+    clips = rng.rand(2, 4, 32, 32, 3).astype(np.float32)
+    ours, _ = video_resnet.apply(params, state, jnp.asarray(clips),
+                                 train=False, dtype=jnp.float32)
+    with torch.no_grad():
+        ref = m(torch.tensor(clips).permute(0, 4, 1, 2, 3)).numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=5e-4)
+
+    # headless import: pooled 512-d features (what the reference wrapper used)
+    params2, state2 = import_video_resnet(sd)
+    feats, _ = video_resnet.apply(params2, state2, jnp.asarray(clips),
+                                  train=False, dtype=jnp.float32)
+    assert np.asarray(feats).shape == (2, 512)

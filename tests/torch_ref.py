@@ -1,0 +1,292 @@
+"""Dimension-parametrised live-torch reference build + composed parity checks.
+
+Shared by tests/test_composed_parity.py (scaled dims, runs in CI) and
+scripts/composed_parity_full.py (full reference dims, result recorded in
+PARITY.md) so the two cannot diverge. See test_composed_parity.py's module
+doc for what is being proven and which reference bugs the oracle fixes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+from torch import nn
+
+from mmqg_tpu import decode as DEC
+from mmqg_tpu.compat import torch_import as TI
+from mmqg_tpu.data.vocab import END_ID, PAD_ID, START_ID
+from mmqg_tpu.models import decoder as D
+from mmqg_tpu.models import frontends, qg_model
+from mmqg_tpu.models.video_encoder import flatten_dim_for
+
+
+class Dims(NamedTuple):
+    """Composed-model dimensions (defaults = full reference scale,
+    reference config.py:53,69-86)."""
+    V: int = 2000
+    EMB: int = 300
+    H: int = 512
+    NL: int = 3
+    HV: int = 512
+    HA: int = 128
+    CTX_MAX: int = 283
+    AV_MAX: int = 101
+    TGT: int = 21
+    FRAME: int = 112
+    MEL_F: int = 96
+    MEL_B: int = 64
+    RATE: int = 16000
+    WIN: int = 400
+    HOP: int = 160
+
+    @property
+    def FLAT(self):
+        return flatten_dim_for(self.FRAME)
+
+
+class TorchVGGish(nn.Module):
+    """torchvggish topology (the torch.hub model the reference froze,
+    reference model/encoder.py:8-19): VGG features, NCHW->NHWC transpose
+    before flatten, Linear/ReLU x3 embedding head."""
+
+    def __init__(self, mel_frames, mel_bins, embedding_dim, fc_dim=4096):
+        super().__init__()
+        layers, c_in = [], 1
+        for v in (64, "M", 128, "M", 256, 256, "M", 512, 512, "M"):
+            if v == "M":
+                layers.append(nn.MaxPool2d(2, 2))
+            else:
+                layers += [nn.Conv2d(c_in, v, 3, padding=1), nn.ReLU(True)]
+                c_in = v
+        self.features = nn.Sequential(*layers)
+        flat = (mel_frames // 16) * (mel_bins // 16) * 512
+        self.embeddings = nn.Sequential(
+            nn.Linear(flat, fc_dim), nn.ReLU(True),
+            nn.Linear(fc_dim, fc_dim), nn.ReLU(True),
+            nn.Linear(fc_dim, embedding_dim), nn.ReLU(True))
+
+    def forward(self, x):                      # (N, 1, mel_frames, mel_bins)
+        x = self.features(x)
+        x = x.permute(0, 2, 3, 1).contiguous().view(x.size(0), -1)
+        return self.embeddings(x)
+
+
+class RefVideoEncoder(nn.Module):
+    """Reference VideoConvLstmEncoder (model/encoder.py:31-78)."""
+
+    def __init__(self, flatten_dim, hidden):
+        super().__init__()
+        self.conv1, self.bn1 = nn.Conv2d(3, 4, 3), nn.BatchNorm2d(4)
+        self.conv2, self.bn2 = nn.Conv2d(4, 6, 3), nn.BatchNorm2d(6)
+        self.conv3, self.bn3 = nn.Conv2d(6, 8, 3), nn.BatchNorm2d(8)
+        self.conv4, self.bn4 = nn.Conv2d(8, 10, 3), nn.BatchNorm2d(10)
+        self.pool = nn.MaxPool2d(3, 3)
+        self.lstm = nn.LSTM(flatten_dim, hidden)
+
+    def forward(self, frames):                 # (T, 3, H, W) float
+        x = self.pool(self.bn2(F.relu(self.conv2(
+            self.bn1(F.relu(self.conv1(frames)))))))
+        x = self.pool(self.bn4(F.relu(self.conv4(
+            self.bn3(F.relu(self.conv3(x)))))))
+        out, _ = self.lstm(x.flatten(1).unsqueeze(1))
+        return out[:, 0]                       # (T, hidden)
+
+
+class RefAttnDecoder(nn.Module):
+    """Reference AttnDecoder (model/decoder.py:49-125) with REAL length
+    masks (fixed semantics — the reference's masks were no-ops)."""
+
+    def __init__(self, d: Dims):
+        super().__init__()
+        self.text_attn = nn.Linear(d.EMB + d.H, d.CTX_MAX)
+        self.vid_attn = nn.Linear(d.EMB + d.H, d.AV_MAX)
+        self.audio_attn = nn.Linear(d.EMB + d.H, d.AV_MAX)
+        self.lstm = nn.LSTM(d.EMB + d.H + d.HA + d.HV, d.H, d.NL)
+        self.out_layer = nn.Linear(d.H, d.V)
+
+    def forward(self, emb, mems, lens, hidden):
+        enc_text, enc_video, enc_audio = mems
+        n_ctx, n_frames, n_audio = lens
+        q = torch.cat([emb, hidden[0][-1]], dim=1)  # (1, EMB+H)
+
+        def attend(head, memory, n):
+            s = head(q)
+            s[:, n:] = float("-inf")
+            w = F.softmax(s, dim=1)
+            return torch.bmm(w.unsqueeze(1), memory).squeeze(1)
+
+        ctx_t = attend(self.text_attn, enc_text, n_ctx)
+        ctx_v = attend(self.vid_attn, enc_video, n_frames)
+        ctx_a = attend(self.audio_attn, enc_audio, n_audio)
+        # concat order [emb; text; audio; video] — reference model/decoder.py:99
+        x = torch.cat([emb, ctx_t, ctx_a, ctx_v], dim=1).unsqueeze(0)
+        out, hidden = self.lstm(x, hidden)
+        return self.out_layer(out[0]), hidden
+
+
+def build_composed(d: Dims, seed: int = 0):
+    """Torch reference model + imported jax model + a 2-sample batch."""
+    torch.manual_seed(seed)
+    emb_layer = nn.Embedding(d.V, d.EMB)
+    text_lstm = nn.LSTM(d.EMB, d.H, d.NL)
+    video = RefVideoEncoder(d.FLAT, d.HV)
+    vggish = TorchVGGish(d.MEL_F, d.MEL_B, d.HA)
+    dec = RefAttnDecoder(d)
+    for m in (video, vggish, dec):
+        m.eval()
+    with torch.no_grad():
+        for bn in (video.bn1, video.bn2, video.bn3, video.bn4):
+            bn.running_mean.uniform_(-0.1, 0.1)
+            bn.running_var.uniform_(0.9, 1.1)
+
+    # the reference's four checkpoint artifacts (train.py:197-214)
+    av_sd = {f"video_enc.{k}": v.numpy()
+             for k, v in video.state_dict().items()}
+    av_sd.update({f"audio_enc.vggish.{k}": v.numpy()
+                  for k, v in vggish.state_dict().items()})
+    text_sd = {f"lstm.{k}": v.numpy()
+               for k, v in text_lstm.state_dict().items()}
+    text_sd["word_embeddings.weight"] = emb_layer.weight.detach().numpy()
+    dec_sd = {k: v.numpy() for k, v in dec.state_dict().items()}
+    dec_sd["emb_layer.weight"] = emb_layer.weight.detach().numpy()
+    emb_w = emb_layer.weight.detach().numpy()
+
+    mc = qg_model.ModelConfig(
+        n_vocab=d.V, word_emb_dim=d.EMB, hidden_dim=d.H, text_layers=d.NL,
+        dec_layers=d.NL, dropout=0.0, video_hidden_dim=d.HV,
+        audio_emb_dim=d.HA, flatten_dim=d.FLAT, context_max_length=d.CTX_MAX,
+        av_max_length=d.AV_MAX, target_steps=d.TGT + 1, mode="trimodal",
+        frame_size=d.FRAME, mel_frames=d.MEL_F, mel_bins=d.MEL_B,
+        sample_rate=d.RATE, stft_window=d.WIN, stft_hop=d.HOP,
+        normalize_video=False)  # reference train path skips Normalize
+    #                             (reference train.py:229 vs evaluate.py:163)
+    params, state = TI.import_checkpoint(av_sd, text_sd, dec_sd, emb_w, mc)
+
+    rng = np.random.RandomState(7)
+    B = 2
+    ctx_len = np.asarray([d.CTX_MAX, max(1, d.CTX_MAX // 2)], np.int32)
+    frames_len = np.asarray([min(4, d.AV_MAX), min(2, d.AV_MAX)], np.int32)
+    # 2 and 3 whole mel examples respectively
+    audio_len = np.asarray([d.WIN + d.HOP * (2 * d.MEL_F - 1),
+                            d.WIN + d.HOP * 3 * d.MEL_F], np.int32)
+    S = int(audio_len.max())
+    T_frames = int(frames_len.max())
+    batch = {
+        "context_ids": rng.randint(3, d.V, (B, d.CTX_MAX)).astype(np.int32),
+        "context_len": ctx_len,
+        "frames": rng.randint(
+            0, 255, (B, T_frames, d.FRAME, d.FRAME, 3)).astype(np.uint8),
+        "frames_len": frames_len,
+        "audio_pcm": (rng.randn(B, S) * 3000).astype(np.int16),
+        "audio_len": audio_len,
+        "target_ids": rng.randint(3, d.V, (B, d.TGT)).astype(np.int32),
+        "target_len": np.full((B,), d.TGT, np.int32),
+    }
+    modules = dict(emb=emb_layer, text=text_lstm, video=video, vggish=vggish,
+                   dec=dec)
+    return modules, mc, params, state, batch
+
+
+def oracle_encode(modules, d: Dims, batch, b):
+    """Per-sample reference encode (train.py:144-169 semantics, fixed)."""
+    n_ctx = int(batch["context_len"][b])
+    n_frames = int(batch["frames_len"][b])
+    with torch.no_grad():
+        # text: token-stepped LSTM into a zeros buffer (train.py:160-166);
+        # equivalent to one packed run over the true length
+        ids = torch.tensor(
+            batch["context_ids"][b:b + 1, :n_ctx].astype(np.int64))
+        e = modules["emb"](ids)                       # (1, n, EMB)
+        out, hidden = modules["text"](e.transpose(0, 1))
+        enc_text = torch.zeros(d.CTX_MAX, d.H)
+        enc_text[:n_ctx] = out[:, 0]
+
+        # video: float/255 frames (ToFloatTensor, custom_transforms.py:14),
+        # valid frames only, zero-padded to av_max (train.py:157)
+        fr = torch.tensor(
+            batch["frames"][b, :n_frames].astype(np.float32) / 255.0
+        ).permute(0, 3, 1, 2)
+        v = modules["video"](fr)                      # (n_frames, HV)
+        enc_video = torch.zeros(d.AV_MAX, d.HV)
+        enc_video[:n_frames] = v
+
+        # audio: shared log-mel frontend (its own torch parity is proved in
+        # test_vggish_featurizer.py), valid examples through VGGish
+        mel = np.asarray(frontends.log_mel_examples(
+            jnp.asarray(batch["audio_pcm"][b:b + 1]), sample_rate=d.RATE,
+            window=d.WIN, hop=d.HOP, mel_bins=d.MEL_B,
+            frames_per_example=d.MEL_F, max_examples=d.AV_MAX,
+            dtype=jnp.float32))[0]
+        n_audio = int(np.asarray(frontends.audio_num_examples(
+            jnp.asarray(batch["audio_len"][b:b + 1]), sample_rate=d.RATE,
+            hop=d.HOP, window=d.WIN, frames_per_example=d.MEL_F,
+            max_examples=d.AV_MAX))[0])
+        a = modules["vggish"](torch.tensor(mel[:n_audio]).unsqueeze(1))
+        enc_audio = torch.zeros(d.AV_MAX, d.HA)
+        enc_audio[:n_audio] = a
+    mems = (enc_text.unsqueeze(0), enc_video.unsqueeze(0),
+            enc_audio.unsqueeze(0))
+    return mems, (n_ctx, n_frames, n_audio), hidden
+
+
+def check_teacher_forced(composed, d: Dims, atol=2e-4, log=lambda *a: None):
+    """Per-step teacher-forced logits identical (reference train.py:171-175)."""
+    modules, mc, params, state, batch = composed
+    mem, dec_state, _ = qg_model.encode(params, state, mc, batch, train=False,
+                                        use_pallas=False, dtype=jnp.float32)
+    B, T = batch["target_ids"].shape
+    dec_inputs = jnp.concatenate(
+        [jnp.full((B, 1), START_ID, jnp.int32),
+         jnp.asarray(batch["target_ids"][:, :-1])], axis=1)
+    ours = np.asarray(D.teacher_forced_logits(
+        params["decoder"], params["embedding"]["table"], dec_inputs, mem,
+        dec_state, train=False, use_pallas=False, dtype=jnp.float32))
+
+    worst = 0.0
+    for b in range(B):
+        mems, lens, hidden = oracle_encode(modules, d, batch, b)
+        tok = START_ID
+        with torch.no_grad():
+            for t in range(T):
+                e = modules["emb"](torch.tensor([[tok]]))[0]
+                logits, hidden = modules["dec"](e, mems, lens, hidden)
+                err = float(np.abs(ours[b, t] - logits[0].numpy()).max())
+                worst = max(worst, err)
+                np.testing.assert_allclose(
+                    ours[b, t], logits[0].numpy(), atol=atol,
+                    err_msg=f"sample {b} step {t}")
+                tok = int(batch["target_ids"][b, t])  # teacher forcing
+        log(f"sample {b}: {T} teacher-forced steps match (max |d|={worst:.2e})")
+    return worst
+
+
+def check_greedy(composed, d: Dims, log=lambda *a: None):
+    """Greedy tokens identical through the real serving path
+    (decode.decode_batch; reference evaluate.py:70-103)."""
+    modules, mc, params, state, batch = composed
+    ours = np.asarray(DEC.decode_batch(
+        params, state, mc, batch, jax.random.PRNGKey(0), strategy="greedy",
+        max_len=d.TGT, use_pallas=False, dtype=jnp.float32))
+
+    for b in range(ours.shape[0]):
+        mems, lens, hidden = oracle_encode(modules, d, batch, b)
+        tok, ref_toks = START_ID, []
+        with torch.no_grad():
+            for _ in range(d.TGT):
+                e = modules["emb"](torch.tensor([[tok]]))[0]
+                logits, hidden = modules["dec"](e, mems, lens, hidden)
+                tok = int(torch.argmax(logits[0]))
+                ref_toks.append(tok)
+                if tok in (END_ID, PAD_ID):   # evaluate.py:101-103 stop
+                    break
+        got = list(ours[b][:len(ref_toks)])
+        assert got == ref_toks, f"sample {b}: {got} != {ref_toks}"
+        # after the stop token the serving path pads (documented contract)
+        assert all(t == PAD_ID for t in ours[b][len(ref_toks):])
+        log(f"sample {b}: greedy tokens identical ({len(ref_toks)} tokens)")
+    return ours
