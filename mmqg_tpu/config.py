@@ -99,6 +99,10 @@ class Config:
     checkpoint_async: bool = False   # write checkpoints off the train thread
     donate_buffers: bool = True      # donate train-state buffers (PERF.md)
     train_av_bucketing: bool = True  # skip padded AV slots in train steps
+    train_av_bucket_granularity: int = 8  # shared with serving's decode._bucket.
+    #   Measured A/B (scripts/bench_train_buckets.py, PERF.md): eighths are 8%
+    #   faster steady-state but double compile count; break-even ~10k steps —
+    #   set 4 for short cold-cache runs.
     beam_size: int = 4
     # audio frontend (VGGish-compatible framing)
     audio_sample_rate: int = 16000

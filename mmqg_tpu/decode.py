@@ -47,13 +47,16 @@ def _select_token(strategy: str, logits: jnp.ndarray, rng, k: int) -> jnp.ndarra
     raise ValueError(f"unknown strategy: {strategy}")
 
 
-def _bucket(need: int, av: int) -> int:
-    # eighth-granularity: the AV encoders' cost is linear in the bucket, and
-    # quarter buckets measurably overpay (a 34-example batch billed at 50
-    # slots = +47% VGGish compute); eight variants still bound jit-cache
-    # growth in steady-state serving.
-    for k in range(1, 9):
-        b = max(1, (k * av) // 8)
+def _bucket(need: int, av: int, granularity: int = 8) -> int:
+    # eighth-granularity default: the AV encoders' cost is linear in the
+    # bucket, and quarter buckets measurably overpay (a 34-example batch
+    # billed at 50 slots = +47% VGGish compute); eight variants still bound
+    # jit-cache growth in steady-state serving. Training shares this helper
+    # (Trainer._step_for) so serving and training bucket policy cannot
+    # diverge silently; granularity is the knob the training A/B uses
+    # (scripts/bench_train_buckets.py, PERF.md "training bucket granularity").
+    for k in range(1, granularity + 1):
+        b = max(1, (k * av) // granularity)
         if need <= b:
             return b
     return av
@@ -312,6 +315,71 @@ def beam_decode_batch(
                               beam_size=beam_size,
                               length_penalty=length_penalty,
                               use_pallas=use_pallas, dec_kind=mc.decoder)
+
+
+@partial(jax.jit, static_argnames=("use_pallas", "dec_kind", "dtype"))
+def sequence_logprob_from_memories(
+    params: Dict,
+    mem: D.Memories,
+    dec_state,
+    tokens: jnp.ndarray,
+    *,
+    use_pallas: bool = True,
+    dec_kind: str = "attn",
+    dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Model log-probability of given token rows (B, T) — the rescoring API.
+
+    Sums per-step log-softmax mass of each row's tokens up to and INCLUDING
+    its first <end>/<pad> (the same stop-token contract as tokens_to_words),
+    teacher-forcing the row itself. Useful for hypothesis rescoring and for
+    asserting beam-search likelihood dominance (tests/test_learning.py)."""
+    B = tokens.shape[0]
+    emb_table = params["embedding"]["table"]
+    av_vec = qg_model.av_vector(mem) if dec_kind == "non_attn" else None
+
+    def body(carry, tok):
+        dec_state, cur, done, total = carry
+        if dec_kind == "attn":
+            logits, new_state, _ = D.step(params["decoder"], emb_table, cur,
+                                          mem, dec_state, train=False,
+                                          use_pallas=use_pallas, dtype=dtype)
+        else:
+            logits, new_state = D.non_attn_step(params["decoder"], emb_table,
+                                                cur, av_vec, dec_state,
+                                                train=False, dtype=dtype)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        step_lp = jnp.take_along_axis(lp, tok[:, None], axis=1)[:, 0]
+        total = total + jnp.where(done, 0.0, step_lp)
+        done = done | (tok == END_ID) | (tok == PAD_ID)
+        return (new_state, tok, done, total), None
+
+    init = (dec_state, jnp.full((B,), START_ID, jnp.int32),
+            jnp.zeros((B,), bool), jnp.zeros((B,), jnp.float32))
+    (_, _, _, total), _ = lax.scan(body, init, jnp.swapaxes(tokens, 0, 1))
+    return total
+
+
+def sequence_logprob(
+    params: Dict,
+    state: Dict,
+    mc: qg_model.ModelConfig,
+    batch: Dict[str, jnp.ndarray],
+    tokens: jnp.ndarray,
+    *,
+    use_pallas: bool = True,
+    audio_cap: Optional[int] = None,
+    frames_cap: Optional[int] = None,
+    dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Encode + rescore: log P(tokens | batch) per row (see
+    sequence_logprob_from_memories)."""
+    cap, fcap = _caps(mc, batch, audio_cap, frames_cap)
+    mem, dec_state = encode_jit(params, state, mc, batch, use_pallas, cap,
+                                fcap, dtype)
+    return sequence_logprob_from_memories(params, mem, dec_state, tokens,
+                                          use_pallas=use_pallas,
+                                          dec_kind=mc.decoder, dtype=dtype)
 
 
 def _caps(mc: qg_model.ModelConfig, batch: Dict[str, jnp.ndarray],

@@ -291,10 +291,16 @@ class Trainer:
                                           use_pallas=self.use_pallas,
                                           accum_steps=self.accum_steps,
                                           donate=self.donate)
-        # bucketed variants (quarter-granularity: bounds recompiles to <=16
-        # pairs, amortised over epochs) — skip padded AV slots in training
-        # just like serving does; gradients are unchanged (loss_fn doc)
+        # bucketed variants — skip padded AV slots in training just like
+        # serving does; gradients are unchanged (loss_fn doc). Granularity is
+        # shared with serving's decode._bucket; the measured A/B
+        # (scripts/bench_train_buckets.py, PERF.md) puts eighths 8% faster
+        # steady-state on the corpus span distribution at 2x the compile
+        # count (break-even ~10k steps) — config.train_av_bucket_granularity
+        # picks the point on that trade.
         self.av_bucketing = getattr(config, "train_av_bucketing", True)
+        self.av_bucket_granularity = int(
+            getattr(config, "train_av_bucket_granularity", 8))
         self._bucketed_steps = {}
         self.validate_step = make_validate_step(mc, use_pallas=self.use_pallas)
         # reference epoch_stats schema (train.py:132); bleu_4 is declared
@@ -334,15 +340,14 @@ class Trainer:
         from mmqg_tpu import decode as DEC
 
         av = self.mc.av_max_length
-        quarter = lambda need: next(  # noqa: E731
-            b for b in (max(1, av // 4), max(1, av // 2),
-                        max(1, (3 * av) // 4), av)
-            if min(max(need, 1), av) <= b)
-        fcap = quarter(int(np.max(arrays["frames_len"])))
+        g = self.av_bucket_granularity
+        bucket = lambda need: DEC._bucket(  # noqa: E731
+            min(max(need, 1), av), av, granularity=g)
+        fcap = bucket(int(np.max(arrays["frames_len"])))
         acap = None
         if self.mc.mode == "trimodal":
-            acap = quarter(DEC.audio_examples_needed(self.mc,
-                                                     arrays["audio_len"]))
+            acap = bucket(DEC.audio_examples_needed(self.mc,
+                                                    arrays["audio_len"]))
         key = (acap, fcap)
         if key not in self._bucketed_steps:
             self._bucketed_steps[key] = make_train_step(

@@ -27,8 +27,12 @@ def test_buckets_cover_need(setup):
     av = mc.av_max_length
     assert DEC._bucket(1, av) >= 1
     assert DEC._bucket(av, av) == av
-    for need in range(1, av + 1):
-        assert DEC._bucket(need, av) >= need
+    for g in (4, 8):  # quarter (training short-run option) and eighth grids
+        for need in range(1, av + 1):
+            b = DEC._bucket(need, av, granularity=g)
+            assert need <= b <= av
+        assert len({DEC._bucket(n, 101, granularity=g)
+                    for n in range(1, 102)}) <= g
 
 
 def test_capped_decode_matches_full(setup):

@@ -86,6 +86,45 @@ def test_beam_runs_and_beats_greedy_likelihood(setup):
     assert b4.shape == g.shape
 
 
+def test_sequence_logprob_matches_stepwise_oracle(setup):
+    """The scanned rescoring API must equal a per-step python-loop rescore
+    (log-softmax mass of each token up to and incl. the first END/PAD)."""
+    import jax.numpy as jnp
+
+    from mmqg_tpu.data.vocab import START_ID
+    from mmqg_tpu.models import decoder as D
+
+    mc, params, state, batch, ds = setup
+    toks = np.asarray(DEC.decode_batch(params, state, mc, batch,
+                                       jax.random.PRNGKey(3),
+                                       strategy="sampling", max_len=5,
+                                       use_pallas=False))
+    got = np.asarray(DEC.sequence_logprob(params, state, mc, batch,
+                                          jnp.asarray(toks),
+                                          use_pallas=False,
+                                          dtype=jnp.float32))
+
+    mem, dec_state = DEC.encode_jit(params, state, mc, batch, False, None,
+                                    None, jnp.float32)
+    B = toks.shape[0]
+    cur = jnp.full((B,), START_ID, jnp.int32)
+    total = np.zeros(B)
+    done = np.zeros(B, bool)
+    for t in range(toks.shape[1]):
+        logits, dec_state, _ = D.step(params["decoder"],
+                                      params["embedding"]["table"], cur, mem,
+                                      dec_state, train=False,
+                                      use_pallas=False, dtype=jnp.float32)
+        lp = np.asarray(jax.nn.log_softmax(logits.astype(jnp.float32), -1))
+        for b in range(B):
+            if not done[b]:
+                total[b] += lp[b, toks[b, t]]
+                if toks[b, t] in (END_ID, PAD_ID):
+                    done[b] = True
+        cur = jnp.asarray(toks[:, t])
+    np.testing.assert_allclose(got, total, rtol=1e-5, atol=1e-5)
+
+
 def test_tokens_to_words(setup):
     mc, params, state, batch, ds = setup
     toks = np.array([[3, 4, END_ID, PAD_ID], [3, PAD_ID, PAD_ID, PAD_ID]])
