@@ -71,6 +71,127 @@ def available() -> bool:
     return get_lib() is not None
 
 
+# --------------------------------------------------------------- media lib
+# Separate shared object (native/mmqg_media.cpp): container demux + audio
+# decode via the SYSTEM libav* libraries — the in-process replacement for the
+# reference's ffmpeg-binary contract (reference dataset/get_audio.py:6-13).
+# Built/loaded independently of libmmqg_host.so because it needs the libav
+# dev packages; callers degrade to the ffmpeg binary when it is unavailable.
+
+_MEDIA_LIB_PATH = _NATIVE_DIR / "libmmqg_media.so"
+_media_lib = None
+_media_tried = False
+
+
+def get_media_lib() -> Optional[ctypes.CDLL]:
+    global _media_lib, _media_tried
+    if _media_lib is not None or _media_tried:
+        return _media_lib
+    _media_tried = True
+    if not _MEDIA_LIB_PATH.exists():
+        try:
+            subprocess.run(["make", "-C", str(_NATIVE_DIR), "media"],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+        if not _MEDIA_LIB_PATH.exists():
+            return None
+    try:
+        lib = ctypes.CDLL(str(_MEDIA_LIB_PATH))
+    except OSError:
+        return None
+    lib.mmqg_media_duration.restype = ctypes.c_double
+    lib.mmqg_media_duration.argtypes = [ctypes.c_char_p]
+    lib.mmqg_decode_audio.restype = ctypes.c_long
+    lib.mmqg_decode_audio.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_long]
+    lib.mmqg_write_test_tone_mp4.restype = ctypes.c_long
+    lib.mmqg_write_test_tone_mp4.argtypes = [
+        ctypes.c_char_p, ctypes.c_double, ctypes.c_int]
+    lib.mmqg_write_test_av_mp4.restype = ctypes.c_long
+    lib.mmqg_write_test_av_mp4.argtypes = [
+        ctypes.c_char_p, ctypes.c_double, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    _media_lib = lib
+    return _media_lib
+
+
+def media_available() -> bool:
+    return get_media_lib() is not None
+
+
+def media_duration(path) -> Optional[float]:
+    """Container duration in seconds; None if lib unavailable / unreadable."""
+    lib = get_media_lib()
+    if lib is None:
+        return None
+    d = lib.mmqg_media_duration(str(path).encode())
+    return None if d < 0 else float(d)
+
+
+def decode_audio(path, target_rate: int, *, channels: int = 1,
+                 start: float = 0.0, end: Optional[float] = None,
+                 max_seconds: Optional[float] = None) -> Optional[np.ndarray]:
+    """First audio stream of any container -> int16 PCM at ``target_rate``.
+
+    Returns shape (n,) for mono or (n, channels) interleaved-deinterleaved;
+    None when the native media lib is unavailable or the file can't be
+    decoded (caller falls back to the ffmpeg binary). Raises ValueError for
+    a readable file WITHOUT an audio stream — that is a caller error, not a
+    missing-capability condition.
+    """
+    lib = get_media_lib()
+    if lib is None:
+        return None
+    if max_seconds is None:
+        if end is not None:
+            max_seconds = max(end - start, 0.0)
+        else:
+            dur = media_duration(path)
+            if dur is None:
+                return None
+            max_seconds = max(dur - start, 0.0)
+    # +1 s slack: codec priming/padding can run past the nominal duration
+    max_frames = int(max_seconds * target_rate) + target_rate
+    out = np.zeros((max_frames * channels,), np.int16)
+    n = lib.mmqg_decode_audio(
+        str(path).encode(), target_rate, channels,
+        float(start), float(end) if end is not None else 0.0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), max_frames)
+    if n == -2:
+        raise ValueError(f"{path}: no audio stream")
+    if n < 0:
+        return None
+    pcm = out[: n * channels]
+    return pcm if channels == 1 else pcm.reshape(-1, channels)
+
+
+def write_test_tone_mp4(path, seconds: float = 2.0, freq: int = 440) -> bool:
+    """AAC-in-mp4 sine fixture (see mmqg_media.cpp); False if the lib or the
+    AAC encoder is unavailable."""
+    lib = get_media_lib()
+    if lib is None:
+        return False
+    return lib.mmqg_write_test_tone_mp4(str(path).encode(), float(seconds),
+                                        int(freq)) == 0
+
+
+def write_test_av_mp4(path, seconds: float = 6.0, freq: int = 440, *,
+                      width: int = 64, height: int = 48,
+                      fps: int = 10) -> bool:
+    """mp4 fixture with BOTH an AAC tone and an MPEG-4 video stream
+    (per-frame brightness ramp) — exercises the full raw-video serving path
+    with no external binary; False if the lib or encoders are unavailable."""
+    lib = get_media_lib()
+    if lib is None:
+        return False
+    return lib.mmqg_write_test_av_mp4(str(path).encode(), float(seconds),
+                                      int(freq), 1, int(width), int(height),
+                                      int(fps)) == 0
+
+
 # ------------------------------------------------------------- simple calls
 
 def load_wav_mono(path, target_rate: int, max_samples: int) -> Optional[np.ndarray]:

@@ -129,19 +129,38 @@ def save_salient_frames(config, questions: List[Dict],
 
 def extract_audio(config, video_id: str) -> Path:
     """mp4 -> 44.1 kHz stereo wav (reference dataset/get_audio.py:6-13).
-    Container demux needs a host decoder; we use the ffmpeg binary when
-    available (same contract as the reference) and fail loudly otherwise."""
+
+    Demux order: (1) the native in-process decoder (native/mmqg_media.cpp,
+    system libav* — no subprocess per video), (2) the ffmpeg binary (the
+    reference's exact contract), (3) a loud error. Artifact layout and
+    format (44.1 kHz stereo wav under audio_path) match the reference either
+    way."""
+    from mmqg_tpu.data import native
+
     out = Path(config.audio_path) / f"{video_id}.wav"
     out.parent.mkdir(parents=True, exist_ok=True)
+    src = Path(config.video_path) / f"{video_id}.mp4"
+
+    if native.media_available():
+        pcm = native.decode_audio(src, 44100, channels=2)
+        if pcm is None:
+            # the decoder works; the FILE failed (missing/corrupt container)
+            raise RuntimeError(f"cannot decode audio from {src} "
+                               f"(native libav decoder)")
+        # decode_audio yields int16; write_wav takes float [-1, 1]
+        wavio.write_wav(out, pcm.astype(np.float32) / 32768.0, 44100)
+        return out
+
     ffmpeg = shutil.which("ffmpeg")
     if ffmpeg is None:
         raise RuntimeError(
-            "ffmpeg binary not found: mp4 audio demux requires ffmpeg "
-            "(reference get_audio.py used the same binary). Frame/text/clip "
-            "stages and training run without it."
+            "no host audio decoder: the native libav decoder is unavailable "
+            "(native/mmqg_media.cpp needs the libav* dev packages) and no "
+            "ffmpeg binary is on PATH (reference get_audio.py used the "
+            "binary). Frame/text/clip stages and training run without it."
         )
     cmd = [ffmpeg, "-hide_banner", "-loglevel", "panic", "-y",
-           "-i", str(Path(config.video_path) / f"{video_id}.mp4"),
+           "-i", str(src),
            "-ab", "160k", "-ac", "2", "-ar", "44100", "-vn", str(out)]
     subprocess.run(cmd, check=True)
     return out
@@ -150,7 +169,8 @@ def extract_audio(config, video_id: str) -> Path:
 def extract_all_audio(config) -> int:
     """videos.json-driven audio extraction (reference dataset/get_audio.py
     main loop :15-38): mp4 -> wav for every listed video. Stops at the first
-    empty-url record like the reference (:31-32). Requires ffmpeg."""
+    empty-url record like the reference (:31-32). Uses the native libav
+    decoder, falling back to the ffmpeg binary (see extract_audio)."""
     with open(config.videos_file) as f:
         videos = json.load(f)
     n = 0
@@ -188,8 +208,11 @@ def clip_salient_audio(config, questions: List[Dict]) -> int:
 
 def run_prep_pipeline(config) -> Dict[str, int]:
     """End-to-end offline prep (reference dataset/README order:
-    assign ids -> audio -> clips -> frames -> text), minus the network/demux
-    stage when ffmpeg is unavailable."""
+    assign ids -> audio -> clips -> frames -> text). The audio stage runs
+    for every question video whose wav is missing but whose mp4 exists
+    (native libav decoder or ffmpeg binary, see extract_audio); with neither
+    decoder available it is skipped — clips then only cover pre-extracted
+    wavs, as before."""
     from mmqg_tpu.data.subtitles import assign_question_ids, build_salient_text_list
 
     with open(config.questions_file) as f:
@@ -198,6 +221,20 @@ def run_prep_pipeline(config) -> Dict[str, int]:
         questions = assign_question_ids(0, questions)
 
     stats = {}
+    stats["audio"] = 0
+    for vid in {str(q["video_id"]) for q in questions if q.get("question")}:
+        wav = Path(config.audio_path) / f"{vid}.wav"
+        mp4 = Path(config.video_path) / f"{vid}.mp4"
+        if wav.exists() or not mp4.exists():
+            continue
+        try:
+            extract_audio(config, vid)
+            stats["audio"] += 1
+        except (RuntimeError, ValueError):
+            # no host decoder, undecodable file, or a video-only mp4: the
+            # clip stage below still covers any pre-staged wavs (the old
+            # behaviour when audio couldn't be extracted)
+            continue
     stats["frames"] = save_salient_frames(config, questions)
     stats["clips"] = clip_salient_audio(config, questions)
     texts = build_salient_text_list(questions, config.subs_path)

@@ -281,11 +281,25 @@ class QGPipeline:
                             for a, b in spans_s]
         contexts = [preprocess_text(c) or "" for c in contexts]
 
-        # ---- audio: slice each span from the video's wav track
+        # ---- audio: slice each span from the video's audio track
         audio: Optional[List[Optional[np.ndarray]]] = None
         if audio_path is None and self.mc.mode == "trimodal":
             import shutil
-            if shutil.which("ffmpeg"):
+
+            from mmqg_tpu.data import native
+
+            if native.media_available():
+                # in-process demux (native/mmqg_media.cpp): seek-decode ONLY
+                # each span at the model rate — no temp wav, no subprocess,
+                # no full-track decode
+                try:
+                    audio = [native.decode_audio(video_path,
+                                                 self.mc.sample_rate,
+                                                 start=a, end=b)
+                             for a, b in spans_s]
+                except ValueError:  # video has no audio stream
+                    audio = None
+            elif shutil.which("ffmpeg"):
                 import subprocess, tempfile
                 tmp = tempfile.NamedTemporaryFile(suffix=".wav", delete=False)
                 tmp.close()
@@ -295,7 +309,7 @@ class QGPipeline:
                      "-ar", str(self.mc.sample_rate), "-vn", tmp.name],
                     check=True)
                 audio_path = tmp.name
-        if audio_path is not None:
+        if audio is None and audio_path is not None:
             pcm = wavio.load_mono_16k(audio_path,
                                       target_rate=self.mc.sample_rate)
             audio = [wavio.clip_span(pcm, self.mc.sample_rate, a, b)

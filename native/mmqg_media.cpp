@@ -1,0 +1,389 @@
+// TPU-host media runtime: in-process container demux + audio decode via the
+// system libav* libraries (libavformat/libavcodec/libswresample). Replaces
+// the reference's ffmpeg *subprocess* contract (reference dataset/
+// get_audio.py:6-13 mp4->wav, get_salient_audioclips.py:6-17 span clips)
+// with a direct library call — no binary dependency, no process spawn per
+// video, and span decode seeks instead of transcoding the whole file.
+//
+// Built as a SEPARATE shared object from libmmqg_host.so so the core host
+// runtime never depends on libav being installed; mmqg_tpu/data/native.py
+// degrades to the ffmpeg binary (and then to a clear error) when this
+// library cannot build or load.
+//
+// C ABI (ctypes-friendly), like mmqg_host.cpp.
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/channel_layout.h>
+#include <libavutil/opt.h>
+#include <libswresample/swresample.h>
+}
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+__attribute__((constructor)) void mmqg_media_quiet_logs() {
+  av_log_set_level(AV_LOG_ERROR);  // encoders chat on stderr otherwise
+}
+
+struct Demux {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* dec = nullptr;
+  int stream = -1;
+
+  ~Demux() {
+    if (dec) avcodec_free_context(&dec);
+    if (fmt) avformat_close_input(&fmt);
+  }
+
+  // 0 ok, -1 io/parse error, -2 no audio stream
+  int open(const char* path) {
+    if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return -1;
+    if (avformat_find_stream_info(fmt, nullptr) < 0) return -1;
+    const AVCodec* codec = nullptr;
+    stream = av_find_best_stream(fmt, AVMEDIA_TYPE_AUDIO, -1, -1, &codec, 0);
+    if (stream < 0 || !codec) return -2;
+    dec = avcodec_alloc_context3(codec);
+    if (!dec) return -1;
+    if (avcodec_parameters_to_context(dec, fmt->streams[stream]->codecpar) < 0)
+      return -1;
+    if (avcodec_open2(dec, codec, nullptr) < 0) return -1;
+    return 0;
+  }
+};
+
+// Incremental resampler to interleaved S16 at (rate, channels); initialised
+// lazily from the first decoded frame (some codecs only report layout then).
+struct Resampler {
+  SwrContext* swr = nullptr;
+  int rate, channels;
+  AVChannelLayout out_layout{};
+
+  Resampler(int r, int ch) : rate(r), channels(ch) {
+    av_channel_layout_default(&out_layout, ch);
+  }
+  ~Resampler() {
+    if (swr) swr_free(&swr);
+    av_channel_layout_uninit(&out_layout);
+  }
+
+  bool init_from(const AVFrame* f) {
+    AVChannelLayout in = f->ch_layout;
+    if (in.nb_channels == 0) av_channel_layout_default(&in, 1);
+    if (swr_alloc_set_opts2(&swr, &out_layout, AV_SAMPLE_FMT_S16, rate, &in,
+                            (AVSampleFormat)f->format, f->sample_rate, 0,
+                            nullptr) < 0)
+      return false;
+    return swr_init(swr) >= 0;
+  }
+
+  // Convert one frame (or flush with null) into `sink`.
+  bool convert(const AVFrame* f, std::vector<int16_t>& sink) {
+    int in_n = f ? f->nb_samples : 0;
+    int cap = swr_get_out_samples(swr, in_n);
+    if (cap <= 0) return true;
+    size_t old = sink.size();
+    sink.resize(old + (size_t)cap * channels);
+    uint8_t* outp = reinterpret_cast<uint8_t*>(sink.data() + old);
+    int got = swr_convert(swr, &outp, cap,
+                          f ? const_cast<const uint8_t**>(f->extended_data)
+                            : nullptr,
+                          in_n);
+    if (got < 0) return false;
+    sink.resize(old + (size_t)got * channels);
+    return true;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Container duration in seconds; <0 on error.
+double mmqg_media_duration(const char* path) {
+  Demux d;
+  int rc = d.open(path);
+  if (rc == -1) return -1.0;
+  if (d.fmt->duration == AV_NOPTS_VALUE) return -1.0;
+  return (double)d.fmt->duration / AV_TIME_BASE;
+}
+
+// Decode the first audio stream of ANY container (mp4/mkv/wav/...) to
+// interleaved S16 at target_rate x channels. [start_s, end_s) seconds;
+// end_s <= 0 means to EOF. Writes at most max_frames frames (one frame =
+// `channels` samples) into out. Returns frames written; -1 on error; -2 if
+// the file has no audio stream.
+long mmqg_decode_audio(const char* path, int target_rate, int channels,
+                       double start_s, double end_s, int16_t* out,
+                       long max_frames) {
+  if (!path || !out || target_rate <= 0 || channels <= 0 || max_frames < 0)
+    return -1;
+  Demux d;
+  int rc = d.open(path);
+  if (rc != 0) return rc;
+  AVStream* st = d.fmt->streams[d.stream];
+  const double tb = av_q2d(st->time_base);
+
+  if (start_s > 0) {
+    int64_t ts = (int64_t)llround(start_s / tb);
+    // backward seek lands on/before the target; we trim by sample below
+    if (av_seek_frame(d.fmt, d.stream, ts, AVSEEK_FLAG_BACKWARD) >= 0)
+      avcodec_flush_buffers(d.dec);
+  }
+
+  Resampler rs(target_rate, channels);
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  if (!pkt || !frame) {
+    if (pkt) av_packet_free(&pkt);
+    if (frame) av_frame_free(&frame);
+    return -1;
+  }
+
+  std::vector<int16_t> pending;  // converted samples not yet emitted
+  double base_s = NAN;           // media time of pending[0]
+  long written = 0;
+  bool failed = false, done = false;
+
+  auto emit = [&]() {
+    // pending holds frames starting at media time base_s; drop before
+    // start_s, stop at end_s / max_frames
+    long nframes = (long)(pending.size() / channels);
+    long skip = 0;
+    if (base_s < start_s)
+      skip = std::min<long>(
+          nframes, llround((start_s - base_s) * target_rate));
+    long avail = nframes - skip;
+    if (end_s > 0) {
+      double t0 = base_s + (double)skip / target_rate;
+      long until_end = (long)llround((end_s - t0) * target_rate);
+      avail = std::min(avail, std::max<long>(until_end, 0));
+    }
+    long take = std::min(avail, max_frames - written);
+    if (take > 0) {
+      std::memcpy(out + (size_t)written * channels,
+                  pending.data() + (size_t)skip * channels,
+                  (size_t)take * channels * sizeof(int16_t));
+      written += take;
+    }
+    base_s += (double)nframes / target_rate;
+    pending.clear();
+    if (written >= max_frames) done = true;
+    if (end_s > 0 && base_s >= end_s) done = true;
+  };
+
+  int read_rc = 0;
+  bool draining = false;
+  while (!done && !failed) {
+    if (!draining) {
+      read_rc = av_read_frame(d.fmt, pkt);
+      if (read_rc < 0) {
+        draining = true;
+        avcodec_send_packet(d.dec, nullptr);  // enter drain mode
+      } else if (pkt->stream_index != d.stream) {
+        av_packet_unref(pkt);
+        continue;
+      } else {
+        if (avcodec_send_packet(d.dec, pkt) < 0) failed = true;
+        av_packet_unref(pkt);
+      }
+    }
+    while (!failed) {
+      int r = avcodec_receive_frame(d.dec, frame);
+      if (r == AVERROR(EAGAIN)) break;
+      if (r == AVERROR_EOF) {
+        done = done || draining;
+        break;
+      }
+      if (r < 0) {
+        failed = true;
+        break;
+      }
+      if (!rs.swr && !rs.init_from(frame)) {
+        failed = true;
+        av_frame_unref(frame);
+        break;
+      }
+      if (std::isnan(base_s)) {
+        int64_t pts = frame->best_effort_timestamp;
+        base_s = (pts == AV_NOPTS_VALUE) ? 0.0 : pts * tb;
+      }
+      if (!rs.convert(frame, pending)) failed = true;
+      av_frame_unref(frame);
+      if (!failed) emit();
+      if (done) break;
+    }
+    if (draining && !done && !failed) {
+      // flush the resampler's tail after the decoder drained
+      if (rs.swr) {
+        if (!rs.convert(nullptr, pending)) failed = true;
+        if (!failed && !pending.empty()) emit();
+      }
+      done = true;
+    }
+  }
+
+  av_packet_free(&pkt);
+  av_frame_free(&frame);
+  if (failed && written == 0) return -1;
+  return written;
+}
+
+// Self-test fixture writer: an mp4 with an AAC sine tone (freq Hz, 44.1 kHz
+// mono) and — when with_video != 0 — an MPEG-4 video stream (w x h @ fps,
+// per-frame brightness ramp (i*3)%255, matching the cv2 fixture in
+// tests/test_pipeline.py). Lets the decode paths be exercised against REAL
+// mp4 streams without shipping binary fixtures or the ffmpeg binary.
+// Returns 0 on success, -1 on error (e.g. encoder not built in).
+long mmqg_write_test_av_mp4(const char* path, double seconds, int freq,
+                            int with_video, int w, int h, int fps) {
+  const int sr = 44100;
+  AVFormatContext* fmt = nullptr;
+  if (avformat_alloc_output_context2(&fmt, nullptr, nullptr, path) < 0 || !fmt)
+    return -1;
+  const AVCodec* acodec = avcodec_find_encoder(AV_CODEC_ID_AAC);
+  const AVCodec* vcodec =
+      with_video ? avcodec_find_encoder(AV_CODEC_ID_MPEG4) : nullptr;
+  long rc = -1;
+  AVCodecContext* aenc = nullptr;
+  AVCodecContext* venc = nullptr;
+  AVStream* ast = nullptr;
+  AVStream* vst = nullptr;
+  AVFrame* aframe = nullptr;
+  AVFrame* vframe = nullptr;
+  AVPacket* pkt = nullptr;
+  do {
+    if (!acodec || (with_video && !vcodec)) break;
+    ast = avformat_new_stream(fmt, nullptr);
+    if (!ast) break;
+    aenc = avcodec_alloc_context3(acodec);
+    if (!aenc) break;
+    aenc->sample_rate = sr;
+    av_channel_layout_default(&aenc->ch_layout, 1);
+    aenc->sample_fmt = acodec->sample_fmts ? acodec->sample_fmts[0]
+                                           : AV_SAMPLE_FMT_FLTP;
+    aenc->bit_rate = 96000;
+    aenc->time_base = {1, sr};
+    if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+      aenc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    if (avcodec_open2(aenc, acodec, nullptr) < 0) break;
+    if (avcodec_parameters_from_context(ast->codecpar, aenc) < 0) break;
+    ast->time_base = aenc->time_base;
+
+    if (with_video) {
+      vst = avformat_new_stream(fmt, nullptr);
+      if (!vst) break;
+      venc = avcodec_alloc_context3(vcodec);
+      if (!venc) break;
+      venc->width = w;
+      venc->height = h;
+      venc->pix_fmt = AV_PIX_FMT_YUV420P;
+      venc->time_base = {1, fps};
+      venc->bit_rate = 400000;
+      venc->gop_size = fps;
+      if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+        venc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+      if (avcodec_open2(venc, vcodec, nullptr) < 0) break;
+      if (avcodec_parameters_from_context(vst->codecpar, venc) < 0) break;
+      vst->time_base = venc->time_base;
+    }
+
+    if (!(fmt->oformat->flags & AVFMT_NOFILE) &&
+        avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0)
+      break;
+    if (avformat_write_header(fmt, nullptr) < 0) break;
+
+    aframe = av_frame_alloc();
+    pkt = av_packet_alloc();
+    if (!aframe || !pkt) break;
+    const int fsz = aenc->frame_size > 0 ? aenc->frame_size : 1024;
+    aframe->format = aenc->sample_fmt;
+    av_channel_layout_copy(&aframe->ch_layout, &aenc->ch_layout);
+    aframe->sample_rate = sr;
+    aframe->nb_samples = fsz;
+    if (av_frame_get_buffer(aframe, 0) < 0) break;
+
+    bool err = false;
+    auto drain = [&](AVCodecContext* c, AVStream* st) {
+      while (true) {
+        int r = avcodec_receive_packet(c, pkt);
+        if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) return true;
+        if (r < 0) return false;
+        av_packet_rescale_ts(pkt, c->time_base, st->time_base);
+        pkt->stream_index = st->index;
+        if (av_interleaved_write_frame(fmt, pkt) < 0) return false;
+      }
+    };
+
+    long total = (long)llround(seconds * sr);
+    for (long pos = 0; pos < total && !err; pos += fsz) {
+      if (av_frame_make_writable(aframe) < 0) { err = true; break; }
+      int n = (int)std::min<long>(fsz, total - pos);
+      aframe->nb_samples = n;
+      float* dst = reinterpret_cast<float*>(aframe->data[0]);
+      for (int i = 0; i < n; ++i)
+        dst[i] = 0.5f * std::sin(2.0 * M_PI * freq * (pos + i) / sr);
+      aframe->pts = pos;
+      if (avcodec_send_frame(aenc, aframe) < 0 || !drain(aenc, ast))
+        err = true;
+    }
+    if (!err && (avcodec_send_frame(aenc, nullptr) < 0 || !drain(aenc, ast)))
+      err = true;
+
+    if (with_video && !err) {
+      vframe = av_frame_alloc();
+      if (!vframe) { err = true; }
+      if (!err) {
+        vframe->format = AV_PIX_FMT_YUV420P;
+        vframe->width = w;
+        vframe->height = h;
+        if (av_frame_get_buffer(vframe, 0) < 0) err = true;
+      }
+      long nframes = (long)llround(seconds * fps);
+      for (long i = 0; i < nframes && !err; ++i) {
+        if (av_frame_make_writable(vframe) < 0) { err = true; break; }
+        uint8_t y = (uint8_t)((i * 3) % 255);
+        for (int r = 0; r < h; ++r)
+          std::memset(vframe->data[0] + r * vframe->linesize[0], y, w);
+        for (int r = 0; r < h / 2; ++r) {
+          std::memset(vframe->data[1] + r * vframe->linesize[1], 128, w / 2);
+          std::memset(vframe->data[2] + r * vframe->linesize[2], 128, w / 2);
+        }
+        vframe->pts = i;
+        if (avcodec_send_frame(venc, vframe) < 0 || !drain(venc, vst))
+          err = true;
+      }
+      if (!err &&
+          (avcodec_send_frame(venc, nullptr) < 0 || !drain(venc, vst)))
+        err = true;
+    }
+
+    if (!err && av_write_trailer(fmt) < 0) err = true;
+    if (!err) rc = 0;
+  } while (false);
+
+  if (aframe) av_frame_free(&aframe);
+  if (vframe) av_frame_free(&vframe);
+  if (pkt) av_packet_free(&pkt);
+  if (aenc) avcodec_free_context(&aenc);
+  if (venc) avcodec_free_context(&venc);
+  if (fmt) {
+    if (!(fmt->oformat->flags & AVFMT_NOFILE) && fmt->pb)
+      avio_closep(&fmt->pb);
+    avformat_free_context(fmt);
+  }
+  return rc;
+}
+
+// Back-compat audio-only fixture.
+long mmqg_write_test_tone_mp4(const char* path, double seconds, int freq) {
+  return mmqg_write_test_av_mp4(path, seconds, freq, 0, 0, 0, 0);
+}
+
+}  // extern "C"

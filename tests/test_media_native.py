@@ -1,0 +1,187 @@
+"""Native in-process media decode (native/mmqg_media.cpp via system libav*):
+the binary-free replacement for the reference's ffmpeg-subprocess contract
+(reference dataset/get_audio.py:6-13, get_salient_audioclips.py:6-17).
+
+Fixtures are SELF-GENERATED: the library also encodes test mp4s (AAC tone,
+optional MPEG-4 video), so the mp4 demux path is exercised against real
+streams without shipping binaries or requiring the ffmpeg CLI. Skipped
+entirely when the media lib can't build (no libav dev packages)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from mmqg_tpu.data import native
+from mmqg_tpu.data import wav as wavio
+
+pytestmark = pytest.mark.skipif(not native.media_available(),
+                                reason="native media lib unavailable")
+
+
+def _dominant_hz(x: np.ndarray, rate: int) -> float:
+    x = np.asarray(x, np.float32)
+    return float(np.fft.rfftfreq(len(x), 1.0 / rate)[
+        np.argmax(np.abs(np.fft.rfft(x)))])
+
+
+@pytest.fixture(scope="module")
+def sine_wav(tmp_path_factory):
+    """1.5 s of 300 Hz at 22050 Hz — wav goes through the same libavformat
+    demux as mp4, validating resample + span logic with exact input."""
+    path = tmp_path_factory.mktemp("media") / "sine.wav"
+    t = np.arange(int(22050 * 1.5)) / 22050.0
+    # write_wav takes float [-1, 1]; 0.366 ~ 12000/32768 peak
+    wavio.write_wav(path, np.sin(2 * np.pi * 300 * t) * 0.366, 22050)
+    return path
+
+
+def test_decode_wav_resampled_mono(sine_wav):
+    pcm = native.decode_audio(sine_wav, 16000)
+    assert pcm is not None and pcm.dtype == np.int16 and pcm.ndim == 1
+    assert abs(len(pcm) - 1.5 * 16000) <= 64  # resampler delay only
+    assert abs(_dominant_hz(pcm, 16000) - 300) < 2
+    rms = np.sqrt(np.mean(pcm.astype(np.float32) ** 2))
+    assert 7000 < rms < 10000  # sine rms = amp/sqrt(2) ~ 8485
+
+
+def test_decode_wav_stereo_upmix(sine_wav):
+    pcm = native.decode_audio(sine_wav, 44100, channels=2)
+    assert pcm is not None and pcm.shape[1] == 2
+    np.testing.assert_array_equal(pcm[:, 0], pcm[:, 1])  # mono upmix
+    assert abs(len(pcm) - 1.5 * 44100) <= 128
+
+
+def test_decode_span_is_sample_accurate(tmp_path):
+    """First second silence, second second tone: a [1.0, 1.5) span decode
+    must return exactly the tone part."""
+    rate = 16000
+    sig = np.zeros(2 * rate, np.float32)
+    t = np.arange(rate) / rate
+    sig[rate:] = np.sin(2 * np.pi * 200 * t) * 0.31
+    path = tmp_path / "half.wav"
+    wavio.write_wav(path, sig, rate)
+
+    span = native.decode_audio(path, rate, start=1.0, end=1.5)
+    assert span is not None
+    assert abs(len(span) - rate // 2) <= 16
+    assert np.sqrt(np.mean(span.astype(np.float32) ** 2)) > 5000  # tone, not silence
+    head = native.decode_audio(path, rate, start=0.0, end=0.5)
+    assert np.abs(head).max() == 0  # silence, not tone
+
+
+def test_media_duration(sine_wav):
+    d = native.media_duration(sine_wav)
+    assert d is not None and abs(d - 1.5) < 0.05
+
+
+def test_mp4_tone_roundtrip(tmp_path):
+    path = tmp_path / "tone.mp4"
+    if not native.write_test_tone_mp4(path, seconds=2.0, freq=440):
+        pytest.skip("AAC encoder not built into system libavcodec")
+    d = native.media_duration(path)
+    assert d is not None and abs(d - 2.0) < 0.1
+    pcm = native.decode_audio(path, 16000)
+    assert pcm is not None
+    # AAC priming/padding adds a codec-delay tail; bound it
+    assert abs(len(pcm) - 2 * 16000) < 1600
+    assert abs(_dominant_hz(pcm, 16000) - 440) < 2
+
+
+def test_no_audio_stream_raises(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    path = tmp_path / "silent.mp4"
+    vw = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                         (32, 32))
+    for _ in range(10):
+        vw.write(np.zeros((32, 32, 3), np.uint8))
+    vw.release()
+    with pytest.raises(ValueError, match="no audio stream"):
+        native.decode_audio(path, 16000)
+
+
+def test_missing_file_returns_none(tmp_path):
+    assert native.decode_audio(tmp_path / "nope.mp4", 16000,
+                               max_seconds=1.0) is None
+    assert native.media_duration(tmp_path / "nope.mp4") is None
+
+
+def test_extract_audio_uses_native_decoder(tmp_path, monkeypatch):
+    """saliency.extract_audio (reference get_audio.py contract: 44.1 kHz
+    stereo wav under audio_path) must work with NO ffmpeg binary when the
+    native decoder is present."""
+    import shutil as _shutil
+
+    from mmqg_tpu.data import saliency
+
+    video_dir = tmp_path / "vids"
+    video_dir.mkdir()
+    if not native.write_test_tone_mp4(video_dir / "v1.mp4", seconds=1.0,
+                                      freq=330):
+        pytest.skip("AAC encoder not built into system libavcodec")
+
+    class Cfg:
+        video_path = video_dir
+        audio_path = tmp_path / "audio"
+
+    monkeypatch.setattr(_shutil, "which", lambda *_: None)  # hide any ffmpeg
+    out = saliency.extract_audio(Cfg, "v1")
+    samples, rate = wavio.read_wav(out)  # float32 [-1, 1]
+    assert rate == 44100 and samples.shape[1] == 2
+    assert abs(len(samples) - 44100) < 4500  # 1 s +- codec delay
+    assert abs(_dominant_hz(samples[:, 0], 44100) - 330) < 3
+    rms = np.sqrt(np.mean(samples[:, 0] ** 2))
+    assert 0.2 < rms < 0.5  # 0.5-amplitude tone ~ 0.35 rms, not clipped
+
+
+def test_prep_pipeline_extracts_audio_natively(tiny_config, tmp_path,
+                                               monkeypatch):
+    """run_prep_pipeline's audio stage (reference README order: audio before
+    clips) must demux the question video's mp4 in-process — wav artifact,
+    salient clip, and frames all materialise from ONE A/V mp4 with no
+    ffmpeg binary."""
+    import json
+    import shutil as _shutil
+
+    pytest.importorskip("cv2")
+    from mmqg_tpu.data.saliency import run_prep_pipeline
+
+    config = tiny_config.replace(
+        dataset_path=tmp_path / "dataset", data_path=tmp_path / "data")
+    config.ensure_dirs()
+    for d in (config.video_path, config.subs_path):
+        Path(d).mkdir(parents=True, exist_ok=True)
+    if not native.write_test_av_mp4(Path(config.video_path) / "vid7.mp4",
+                                    seconds=5.0, freq=440, fps=10):
+        pytest.skip("AAC/MPEG-4 encoders not built into system libavcodec")
+    (Path(config.subs_path) / "vid7.srt").write_text(
+        "1\n00:00:00,000 --> 00:00:05,000\nthe process of the system\n\n")
+    with open(config.questions_file, "w") as f:
+        json.dump([{"video_id": "vid7", "question": "what is it",
+                    "answer_start": "0:01", "answer_end": "0:03",
+                    "option_1": "the process", "question_id": 0}], f)
+
+    monkeypatch.setattr(_shutil, "which", lambda *_: None)  # no ffmpeg
+    stats = run_prep_pipeline(config)
+    assert stats["audio"] == 1 and stats["clips"] == 1 and stats["frames"] == 1
+    samples, rate = wavio.read_wav(Path(config.audio_path) / "vid7.wav")
+    assert rate == 44100 and abs(_dominant_hz(samples[:, 0], rate) - 440) < 3
+    clip, crate = wavio.read_wav(
+        Path(config.salient_audio_path) / "v_vid7_q_0_.wav")
+    assert abs(len(clip) / crate - 2.0) < 0.1  # the 0:01-0:03 span
+    frames = np.load(Path(config.salient_frames_path) / "v_vid7_q_0_.npy")
+    assert frames.ndim == 4 and frames.shape[0] >= 1
+
+
+def test_av_fixture_has_both_streams(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    path = tmp_path / "av.mp4"
+    if not native.write_test_av_mp4(path, seconds=3.0, freq=440, fps=10):
+        pytest.skip("AAC/MPEG-4 encoders not built into system libavcodec")
+    cap = cv2.VideoCapture(str(path))
+    assert cap.isOpened()
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    cap.release()
+    assert abs(n - 30) <= 2
+    pcm = native.decode_audio(path, 16000)
+    assert pcm is not None and abs(_dominant_hz(pcm, 16000) - 440) < 2

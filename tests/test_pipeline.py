@@ -151,6 +151,33 @@ def test_generate_from_video_end_to_end(trained, tmp_path):
     assert len(out2) == 1
 
 
+def test_generate_from_av_mp4_no_external_binary(trained, tmp_path,
+                                                 monkeypatch):
+    """The full north-star path from ONE mp4 carrying both streams: video
+    frames AND the audio track come out of the same file via the native
+    in-process decoder — no wav sidecar, no ffmpeg binary (hidden via
+    monkeypatch to prove it)."""
+    import shutil as _shutil
+
+    pytest.importorskip("cv2")
+    from mmqg_tpu.data import native
+
+    if not native.media_available():
+        pytest.skip("native media lib unavailable")
+    video = tmp_path / "lecture.mp4"
+    if not native.write_test_av_mp4(video, seconds=6.0, freq=440, fps=10):
+        pytest.skip("AAC/MPEG-4 encoders not built into system libavcodec")
+
+    monkeypatch.setattr(_shutil, "which", lambda *_: None)
+    pipe = QGPipeline.from_checkpoint(trained, alias="best")
+    out = pipe.generate_from_video(
+        video, spans=[(1.0, 3.0), ("0:03", "0:05")],
+        contexts=["what is the process", "the value of the system"],
+        strategy="greedy")
+    assert len(out) == 2
+    assert all(isinstance(s, str) for s in out)
+
+
 def test_pack_buckets_batch_sizes(trained):
     """Request-batch sizes bucket to powers of two so serving sees at most
     log2(max_batch) compiled programs, not one per distinct size."""

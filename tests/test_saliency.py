@@ -67,13 +67,19 @@ def test_assign_question_ids():
     assert [q["question_id"] for q in out] == [5, 6]
 
 
-def test_extract_audio_fails_loudly_without_ffmpeg(tiny_config, monkeypatch):
-    """C3 (SURVEY.md §2): mp4 demux needs the ffmpeg binary; without it the
-    error must be explicit, not a silent skip."""
+def test_extract_audio_fails_loudly_without_decoder(tiny_config, monkeypatch):
+    """C3 (SURVEY.md §2): mp4 demux needs a host decoder. With the native
+    libav decoder present, a bad FILE must raise a file-decode error; with
+    neither decoder available, the error must name both options — never a
+    silent skip."""
     import shutil as _shutil
 
-    from mmqg_tpu.data import saliency
+    from mmqg_tpu.data import native, saliency
 
     monkeypatch.setattr(_shutil, "which", lambda name: None)
+    if native.media_available():
+        with pytest.raises(RuntimeError, match="cannot decode"):
+            saliency.extract_audio(tiny_config, "vid001")  # missing mp4
+    monkeypatch.setattr(native, "media_available", lambda: False)
     with pytest.raises(RuntimeError, match="ffmpeg"):
         saliency.extract_audio(tiny_config, "vid001")
