@@ -107,6 +107,17 @@ def get_media_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
         ctypes.c_double, ctypes.c_double,
         ctypes.POINTER(ctypes.c_int16), ctypes.c_long]
+    lib.mmqg_media_video_info.restype = ctypes.c_long
+    lib.mmqg_media_video_info.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long)]
+    lib.mmqg_decode_frames_idx.restype = ctypes.c_long
+    lib.mmqg_decode_frames_idx.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_long), ctypes.c_long,
+        ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double)]
     lib.mmqg_write_test_tone_mp4.restype = ctypes.c_long
     lib.mmqg_write_test_tone_mp4.argtypes = [
         ctypes.c_char_p, ctypes.c_double, ctypes.c_int]
@@ -166,6 +177,74 @@ def decode_audio(path, target_rate: int, *, channels: int = 1,
         return None
     pcm = out[: n * channels]
     return pcm if channels == 1 else pcm.reshape(-1, channels)
+
+
+def video_info(path) -> Optional[dict]:
+    """Video stream metadata: {fps, duration, n_frames, width, height}.
+
+    None when the media lib is unavailable or the file is unreadable;
+    ValueError when the file is readable but has no video stream."""
+    lib = get_media_lib()
+    if lib is None:
+        return None
+    fps = ctypes.c_double()
+    dur = ctypes.c_double()
+    nf = ctypes.c_long()
+    w = ctypes.c_long()
+    h = ctypes.c_long()
+    rc = lib.mmqg_media_video_info(str(path).encode(), ctypes.byref(fps),
+                                   ctypes.byref(dur), ctypes.byref(nf),
+                                   ctypes.byref(w), ctypes.byref(h))
+    if rc == -2:
+        raise ValueError(f"{path}: no video stream")
+    if rc != 0:
+        return None
+    return {"fps": fps.value, "duration": dur.value, "n_frames": nf.value,
+            "width": w.value, "height": h.value}
+
+
+def decode_frames(path, indices, size: int, *,
+                  seek_ahead_s: float = 0.0):
+    """Video frames by display index (any order, unique) resized to
+    ``size``x``size`` BGR uint8 — the cv2 salient-frame byte layout.
+
+    Seeks to the keyframe at/before each target instead of decoding the
+    whole file (native/mmqg_media.cpp mmqg_decode_frames_idx) — the
+    prep-path win for sparse question spans in long videos. Index→pts
+    mapping is exact integer tick arithmetic learned from the first two
+    frames, immune to the container's skewed avg_frame_rate.
+
+    Returns (frames, found, pts_s, tick_s): frames uint8 (n, size, size, 3),
+    found a bool mask (False where the index had no frame: past EOF, or a
+    VFR stream off the CFR grid — those rows are zeros), pts_s each frame's
+    timestamp in seconds relative to the first frame, and tick_s the frame
+    interval in seconds. None when the media lib is unavailable or the file
+    is unreadable; ValueError when it has no video stream."""
+    lib = get_media_lib()
+    if lib is None:
+        return None
+    idx = np.asarray(indices, np.int64)
+    order = np.argsort(idx, kind="stable")  # C side requires ascending
+    sorted_idx = np.ascontiguousarray(idx[order])
+    out = np.zeros((len(idx), size, size, 3), np.uint8)
+    found = np.zeros((len(idx),), np.uint8)
+    pts = np.zeros((len(idx),), np.float64)
+    tick = ctypes.c_double(0.0)
+    rc = lib.mmqg_decode_frames_idx(
+        str(path).encode(),
+        sorted_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        len(idx), size, size, float(seek_ahead_s),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        found.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.byref(tick))
+    if rc == -2:
+        raise ValueError(f"{path}: no video stream")
+    if rc < 0:
+        return None
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order))
+    return out[inv], found[inv].astype(bool), pts[inv], tick.value
 
 
 def write_test_tone_mp4(path, seconds: float = 2.0, freq: int = 440) -> bool:

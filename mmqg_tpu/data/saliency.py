@@ -41,6 +41,79 @@ def is_salient(frame_time: float, start_time: float, end_time: float) -> bool:
     return start_time <= frame_time <= end_time
 
 
+def _native_salient_frames(
+    video_file: Path,
+    spans_ms: Sequence[Tuple[int, int]],
+    frame_dim: Tuple[int, int],
+) -> Optional[List[np.ndarray]]:
+    """Seek-decode ONLY the sampled frames via the native libav decoder
+    (native/mmqg_media.cpp): each span costs one keyframe seek plus the
+    decode of its own neighbourhood, instead of a linear decode of the whole
+    file — the prep win for sparse spans in long videos. Same sampling rule
+    and BGR uint8 artifact bytes as the cv2 path below (SWS_AREA ≈
+    INTER_AREA up to rounding). Returns None when unavailable (caller falls
+    back to cv2)."""
+    from mmqg_tpu.data import native
+
+    if os.environ.get("MMQG_NATIVE_FRAMES", "1") == "0":
+        return None  # bit-exact cv2/INTER_AREA artifacts on demand
+    if frame_dim[0] != frame_dim[1]:
+        return None  # native resize path is square-only; cv2 covers the rest
+    try:
+        info = native.video_info(video_file)
+    except ValueError:
+        return None  # readable container, no video stream: let cv2 decide
+    if not info or not info["fps"] or info["fps"] <= 0:
+        return None
+    fps = info["fps"]  # the container rate — the same value cv2 reports
+    step = math.ceil(fps)  # sample every ceil(fps)-th frame ≈ 1 fps
+
+    # CANDIDATE indices: multiples of `step` whose estimated time falls in a
+    # span widened by 2 sample periods — the container's avg_frame_rate can
+    # be skewed vs true pts (nb_frames/duration counts one interval less),
+    # so estimates drift ~a frame per hundreds of frames. The exact in-span
+    # test below uses each frame's TRUE pts, identical to the cv2 path's
+    # CAP_PROP_POS_MSEC check.
+    slack_ms = 2 * step * 1000.0 / fps
+    n_frames = info["n_frames"] or 0
+    wanted: set = set()
+    for start_ms, end_ms in spans_ms:
+        f = max(0, math.floor((start_ms - slack_ms) * fps / 1000.0
+                              / step)) * step
+        while f * 1000.0 / fps <= end_ms + slack_ms:
+            if n_frames and f >= n_frames:
+                break
+            wanted.add(f)
+            f += step
+    order = sorted(wanted)
+    if not order:
+        return [np.zeros((0,) + frame_dim + (3,), np.uint8) for _ in spans_ms]
+
+    res = native.decode_frames(video_file, order, frame_dim[0])
+    if res is None:
+        return None
+    frames, found, pts_s, tick_s = res
+    if n_frames and not found.all():
+        # indices inside the declared frame count failed to decode on the
+        # CFR grid (VFR stream, drops): use the exact linear path instead
+        return None
+
+    # cv2's CAP_PROP_POS_MSEC — the reference's frame_time (reference
+    # get_salient_frames.py:27) — is read BEFORE grab() and therefore lags
+    # one frame: frame k is tested against pts(k-1), and frame 0 against
+    # 0.0. Reproduce that exactly so both paths (and the reference) select
+    # identical frame sets.
+    lag_ms = [(pts_s[i] - tick_s) * 1000.0 if order[i] > 0 else 0.0
+              for i in range(len(order))]
+    out = []
+    for start_ms, end_ms in spans_ms:
+        kept = [frames[i] for i in range(len(order))
+                if found[i] and is_salient(lag_ms[i], start_ms, end_ms)]
+        out.append(np.asarray(kept, np.uint8) if kept
+                   else np.zeros((0,) + frame_dim + (3,), np.uint8))
+    return out
+
+
 def extract_salient_frames_for_video(
     video_file: Path,
     spans_ms: Sequence[Tuple[int, int]],
@@ -51,8 +124,17 @@ def extract_salient_frames_for_video(
 
     Sampling rule matches reference get_salient_frames.py:28,38-41:
     keep frames with ``frame_id % ceil(fps) == 0`` whose timestamp lies in the
-    span; resize with INTER_AREA.
+    span; resize with INTER_AREA (cv2 path) / SWS_AREA (native path).
+
+    Decode order: (1) the native seek-decoder — touches only the spans'
+    keyframe neighbourhoods; (2) cv2 linear decode with grab()+retrieve()
+    materialising only the sampled frames.
     """
+    if Path(video_file).exists():
+        native_out = _native_salient_frames(video_file, spans_ms, frame_dim)
+        if native_out is not None:
+            return native_out
+
     import cv2  # local import: cv2 is only needed for offline prep
 
     cap = cv2.VideoCapture(str(video_file))

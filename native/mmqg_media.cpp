@@ -16,8 +16,10 @@ extern "C" {
 #include <libavcodec/avcodec.h>
 #include <libavformat/avformat.h>
 #include <libavutil/channel_layout.h>
+#include <libavutil/imgutils.h>
 #include <libavutil/opt.h>
 #include <libswresample/swresample.h>
+#include <libswscale/swscale.h>
 }
 
 #include <algorithm>
@@ -42,12 +44,12 @@ struct Demux {
     if (fmt) avformat_close_input(&fmt);
   }
 
-  // 0 ok, -1 io/parse error, -2 no audio stream
-  int open(const char* path) {
+  // 0 ok, -1 io/parse error, -2 no stream of `type`
+  int open(const char* path, AVMediaType type = AVMEDIA_TYPE_AUDIO) {
     if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return -1;
     if (avformat_find_stream_info(fmt, nullptr) < 0) return -1;
     const AVCodec* codec = nullptr;
-    stream = av_find_best_stream(fmt, AVMEDIA_TYPE_AUDIO, -1, -1, &codec, 0);
+    stream = av_find_best_stream(fmt, type, -1, -1, &codec, 0);
     if (stream < 0 || !codec) return -2;
     dec = avcodec_alloc_context3(codec);
     if (!dec) return -1;
@@ -233,6 +235,228 @@ long mmqg_decode_audio(const char* path, int target_rate, int channels,
   av_frame_free(&frame);
   if (failed && written == 0) return -1;
   return written;
+}
+
+// Video stream info. Returns 0 ok, -1 io/parse error, -2 no video stream.
+// fps is the container's average frame rate; n_frames is the stream's frame
+// count when the container records it, else an estimate from duration*fps
+// (0 if neither is known).
+long mmqg_media_video_info(const char* path, double* fps, double* duration_s,
+                           long* n_frames, long* width, long* height) {
+  Demux d;
+  int rc = d.open(path, AVMEDIA_TYPE_VIDEO);
+  if (rc != 0) return rc;
+  AVStream* st = d.fmt->streams[d.stream];
+  double r = av_q2d(st->avg_frame_rate);
+  if (!(r > 0)) r = av_q2d(st->r_frame_rate);
+  double dur = (d.fmt->duration == AV_NOPTS_VALUE)
+                   ? 0.0
+                   : (double)d.fmt->duration / AV_TIME_BASE;
+  if (fps) *fps = r;
+  if (duration_s) *duration_s = dur;
+  if (n_frames) {
+    *n_frames = (st->nb_frames > 0) ? (long)st->nb_frames
+                                    : (long)llround(dur * r);
+  }
+  if (width) *width = d.dec->width;
+  if (height) *height = d.dec->height;
+  return 0;
+}
+
+// Decode video frames BY DISPLAY INDEX (sorted ascending), resized to
+// out_w x out_h BGR24 (SWS_AREA — the counterpart of cv2's INTER_AREA; BGR
+// matches the cv2 artifact byte layout the salient-frame .npy files use).
+//
+// Index addressing is exact for constant-frame-rate streams: the first two
+// frames give (pts0, dt) and frame k lives at pts0 + k*dt ticks. Containers
+// often report a skewed avg_frame_rate (nb_frames/duration counts one less
+// interval than frames), so TIME-based targeting drifts by a frame per
+// ~hundreds of frames; tick arithmetic is integer-exact. A frame whose pts
+// does not equal its predicted tick (VFR, dropped frames) is reported as
+// missing so the caller can fall back to a linear decode.
+//
+// The point vs a linear full decode: each target seeks to the nearest
+// KEYFRAME at/before its pts and decodes forward only from there — for
+// sparse question spans in a long lecture this skips most of the file.
+// Targets close ahead (< seek_ahead_s, default 2 s) roll forward without a
+// redundant seek, so dense ~1 fps sampling inside a span costs one seek per
+// span, not per frame.
+//
+// out: n * out_h * out_w * 3 bytes. found[i]: 1 where frame indices[i] was
+// decoded (past-EOF / pts-mismatch slots stay 0, out slot untouched).
+// pts_out[i] (optional): the frame's pts in seconds RELATIVE to the first
+// frame. tick_s (optional): the learned frame interval in seconds — callers
+// reconstruct neighbour timestamps (e.g. cv2's CAP_PROP_POS_MSEC reads
+// lagged by one frame) without another decode.
+// Returns count found; -1 io/parse/decode error; -2 no video stream.
+long mmqg_decode_frames_idx(const char* path, const long* indices, long n,
+                            int out_w, int out_h, double seek_ahead_s,
+                            uint8_t* out, uint8_t* found, double* pts_out,
+                            double* tick_s) {
+  if (!path || !indices || !out || !found || n < 0 || out_w <= 0 ||
+      out_h <= 0)
+    return -1;
+  if (n == 0) return 0;
+  if (seek_ahead_s <= 0) seek_ahead_s = 2.0;
+  Demux d;
+  int rc = d.open(path, AVMEDIA_TYPE_VIDEO);
+  if (rc != 0) return rc;
+  AVStream* st = d.fmt->streams[d.stream];
+  const double tb = av_q2d(st->time_base);
+  std::memset(found, 0, (size_t)n);
+
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  if (!pkt || !frame) {
+    if (pkt) av_packet_free(&pkt);
+    if (frame) av_frame_free(&frame);
+    return -1;
+  }
+
+  SwsContext* sws = nullptr;
+  int sws_w = -1, sws_h = -1;
+  AVPixelFormat sws_fmt = AV_PIX_FMT_NONE;
+  const size_t frame_bytes = (size_t)out_w * out_h * 3;
+
+  auto emit = [&](const AVFrame* src, long i) -> bool {
+    if (!sws || src->width != sws_w || src->height != sws_h ||
+        (AVPixelFormat)src->format != sws_fmt) {
+      if (sws) sws_freeContext(sws);
+      sws = sws_getContext(src->width, src->height,
+                           (AVPixelFormat)src->format, out_w, out_h,
+                           AV_PIX_FMT_BGR24,
+                           SWS_AREA | SWS_ACCURATE_RND | SWS_FULL_CHR_H_INT,
+                           nullptr, nullptr,
+                           nullptr);
+      if (!sws) return false;
+      sws_w = src->width;
+      sws_h = src->height;
+      sws_fmt = (AVPixelFormat)src->format;
+    }
+    uint8_t* dst[4] = {out + (size_t)i * frame_bytes, nullptr, nullptr,
+                       nullptr};
+    int strides[4] = {out_w * 3, 0, 0, 0};
+    sws_scale(sws, src->data, src->linesize, 0, src->height, dst, strides);
+    found[i] = 1;
+    return true;
+  };
+
+  // Demux/decode pump: next video frame into `f`. 0 ok, 1 EOF, -1 error.
+  bool draining = false;
+  auto next_frame = [&](AVFrame* f) -> int {
+    while (true) {
+      int r = avcodec_receive_frame(d.dec, f);
+      if (r == 0) return 0;
+      if (r == AVERROR_EOF) return 1;
+      if (r != AVERROR(EAGAIN)) return -1;
+      if (draining) return 1;  // defensive; EAGAIN after drain-send is odd
+      int rr = av_read_frame(d.fmt, pkt);
+      if (rr < 0) {
+        draining = true;
+        avcodec_send_packet(d.dec, nullptr);
+        continue;
+      }
+      if (pkt->stream_index != d.stream) {
+        av_packet_unref(pkt);
+        continue;
+      }
+      rr = avcodec_send_packet(d.dec, pkt);
+      av_packet_unref(pkt);
+      if (rr < 0 && rr != AVERROR(EAGAIN)) return -1;
+    }
+  };
+
+  auto pts_of = [&](const AVFrame* f) -> int64_t {
+    int64_t pts = f->best_effort_timestamp;
+    return (pts == AV_NOPTS_VALUE) ? INT64_MIN : pts;
+  };
+
+  // Learn the CFR grid from the first two frames.
+  int64_t pts0 = 0, dt = 0;
+  {
+    if (next_frame(frame) != 0) {
+      rc = -1;
+      goto cleanup;
+    }
+    pts0 = pts_of(frame);
+    av_frame_unref(frame);
+    if (next_frame(frame) != 0 || pts0 == INT64_MIN) {
+      rc = -1;
+      goto cleanup;
+    }
+    dt = pts_of(frame) - pts0;
+    av_frame_unref(frame);
+    if (dt <= 0) {
+      rc = -1;
+      goto cleanup;
+    }
+    if (tick_s) *tick_s = dt * tb;
+  }
+
+  {
+    const int64_t ahead_ticks = (int64_t)llround(seek_ahead_s / tb);
+    int64_t cur_pts = INT64_MIN;  // pts of the last decoded frame
+    bool at_eof = false, failed = false;
+    long written = 0;
+
+    // restart clean so index 0 is reachable
+    if (av_seek_frame(d.fmt, d.stream, pts0, AVSEEK_FLAG_BACKWARD) < 0) {
+      rc = -1;
+      goto cleanup;
+    }
+    avcodec_flush_buffers(d.dec);
+    draining = false;
+
+    for (long i = 0; i < n && !failed; ++i) {
+      if (indices[i] < 0) continue;
+      const int64_t target = pts0 + indices[i] * dt;
+      if (target < cur_pts ||
+          (target > cur_pts + ahead_ticks && !at_eof)) {
+        if (av_seek_frame(d.fmt, d.stream, target, AVSEEK_FLAG_BACKWARD) >=
+            0) {
+          avcodec_flush_buffers(d.dec);
+          cur_pts = INT64_MIN;
+          at_eof = draining = false;
+        }
+        // seek failure (unseekable input): continue linearly from here
+      }
+      // Decode forward to the exact target pts.
+      while (!at_eof && !failed && cur_pts < target) {
+        int r = next_frame(frame);
+        if (r < 0) {
+          failed = true;
+          break;
+        }
+        if (r == 1) {
+          at_eof = true;
+          break;
+        }
+        int64_t p = pts_of(frame);
+        if (p == INT64_MIN) p = cur_pts == INT64_MIN ? target - 1 : cur_pts;
+        cur_pts = p;
+        if (p == target) {
+          if (!emit(frame, i)) failed = true;
+          if (pts_out) pts_out[i] = (double)(p - pts0) * tb;
+          ++written;
+        }
+        // p > target: VFR / dropped frame — slot stays missing
+        av_frame_unref(frame);
+      }
+      // cur_pts == target but frame already consumed for an earlier equal
+      // index (duplicate targets): re-seek handles it on the next loop via
+      // target < cur_pts? No: equal indices share target == cur_pts and the
+      // while is skipped — emit requires the frame buffer, so duplicates
+      // are reported missing. Callers pass unique indices.
+    }
+
+    rc = (failed && written == 0) ? -1 : (int)written;
+  }
+
+cleanup:
+  if (sws) sws_freeContext(sws);
+  av_packet_free(&pkt);
+  av_frame_free(&frame);
+  return rc;
 }
 
 // Self-test fixture writer: an mp4 with an AAC sine tone (freq Hz, 44.1 kHz

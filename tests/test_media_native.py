@@ -173,6 +173,71 @@ def test_prep_pipeline_extracts_audio_natively(tiny_config, tmp_path,
     assert frames.ndim == 4 and frames.shape[0] >= 1
 
 
+def test_decode_frames_by_index(tmp_path):
+    """Index-addressed frame decode: exact frame selection (brightness ramp
+    identifies frames), order-independence, EOF reported missing, pts grid."""
+    path = tmp_path / "av.mp4"
+    if not native.write_test_av_mp4(path, seconds=12.0, freq=440, fps=10):
+        pytest.skip("AAC/MPEG-4 encoders not built into system libavcodec")
+    frames, found, pts, tick = native.decode_frames(path, [0, 10, 50, 110, 500], 32)
+    assert found.tolist() == [True, True, True, True, False]
+    assert frames.shape == (5, 32, 32, 3) and frames.dtype == np.uint8
+    np.testing.assert_allclose(pts[:4], [0.0, 1.0, 5.0, 11.0], atol=1e-6)
+    assert abs(tick - 0.1) < 1e-6
+    # fixture frame i has Y=(i*3)%255; mp4 YUV is limited-range, so BGR ≈
+    # clip((Y-16)*255/219) — check the ramp identifies the right frames
+    for fi, fr in zip([0, 10, 50, 110], frames):
+        expect = np.clip(((fi * 3) % 255 - 16) * 255.0 / 219.0, 0, 255)
+        assert abs(float(fr.mean()) - expect) < 10, (fi, fr.mean(), expect)
+    # any input order, same frames
+    f2, fd2, p2, _ = native.decode_frames(path, [50, 0], 32)
+    assert fd2.all() and np.array_equal(f2[0], frames[2]) and p2[0] == 5.0
+    # past EOF slot stays zeros
+    assert frames[4].max() == 0
+
+
+def test_native_salient_frames_match_cv2(tmp_path):
+    """The seek-decode fast path must select the SAME frame set as the cv2
+    linear path (including cv2's one-frame POS_MSEC lag — the reference's
+    frame_time semantics, get_salient_frames.py:27) with near-identical
+    pixels (SWS_AREA accurate-rounding vs INTER_AREA)."""
+    cv2 = pytest.importorskip("cv2")
+    import mmqg_tpu.data.saliency as S
+
+    v = tmp_path / "c.mp4"
+    vw = cv2.VideoWriter(str(v), cv2.VideoWriter_fourcc(*"mp4v"), 24,
+                         (160, 120))
+    rng = np.random.RandomState(0)
+    base = rng.randint(0, 255, (120, 160, 3), np.uint8)
+    for i in range(24 * 30):
+        vw.write(np.roll(base, i * 7, axis=1))
+    vw.release()
+
+    spans = [(0, 2000), (1500, 3500), (10000, 10500), (25000, 29900),
+             (29000, 45000)]
+    nat = S._native_salient_frames(v, spans, (32, 32))
+    assert nat is not None
+    # force the cv2 path for the reference result
+    orig = S._native_salient_frames
+    S._native_salient_frames = lambda *a: None
+    try:
+        ref = S.extract_salient_frames_for_video(v, spans, (32, 32))
+    finally:
+        S._native_salient_frames = orig
+    for a, b in zip(nat, ref):
+        assert a.shape == b.shape  # identical frame SELECTION
+        if len(a):
+            d = np.abs(a.astype(int) - b.astype(int))
+            assert d.mean() < 3 and d.max() <= 16  # resize/CSC rounding only
+
+
+def test_native_frames_disable_env(tmp_path, monkeypatch):
+    monkeypatch.setenv("MMQG_NATIVE_FRAMES", "0")
+    from mmqg_tpu.data import saliency as S
+    assert S._native_salient_frames(tmp_path / "x.mp4", [(0, 1000)],
+                                    (32, 32)) is None
+
+
 def test_av_fixture_has_both_streams(tmp_path):
     cv2 = pytest.importorskip("cv2")
     path = tmp_path / "av.mp4"
