@@ -302,21 +302,31 @@ def run_prep_pipeline(config) -> Dict[str, int]:
     if questions and "question_id" not in questions[0]:
         questions = assign_question_ids(0, questions)
 
-    stats = {}
-    stats["audio"] = 0
-    for vid in {str(q["video_id"]) for q in questions if q.get("question")}:
-        wav = Path(config.audio_path) / f"{vid}.wav"
-        mp4 = Path(config.video_path) / f"{vid}.mp4"
-        if wav.exists() or not mp4.exists():
-            continue
+    def _audio_one(vid: str) -> int:
         try:
             extract_audio(config, vid)
-            stats["audio"] += 1
+            return 1
         except (RuntimeError, ValueError):
             # no host decoder, undecodable file, or a video-only mp4: the
             # clip stage below still covers any pre-staged wavs (the old
             # behaviour when audio couldn't be extracted)
-            continue
+            return 0
+
+    pending = sorted(
+        vid for vid in {str(q["video_id"]) for q in questions
+                        if q.get("question")}
+        if not (Path(config.audio_path) / f"{vid}.wav").exists()
+        and (Path(config.video_path) / f"{vid}.mp4").exists())
+    stats = {}
+    if len(pending) > 1:
+        # per-video independent; libav decode releases the GIL like cv2's,
+        # so the audio stage pools exactly as save_salient_frames does
+        from concurrent.futures import ThreadPoolExecutor
+        n_workers = min(os.cpu_count() or 1, len(pending))
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+            stats["audio"] = sum(pool.map(_audio_one, pending))
+    else:
+        stats["audio"] = sum(_audio_one(v) for v in pending)
     stats["frames"] = save_salient_frames(config, questions)
     stats["clips"] = clip_salient_audio(config, questions)
     texts = build_salient_text_list(questions, config.subs_path)

@@ -231,6 +231,35 @@ def test_native_salient_frames_match_cv2(tmp_path):
             assert d.mean() < 3 and d.max() <= 16  # resize/CSC rounding only
 
 
+def test_vfr_stream_falls_back_to_cv2(tmp_path, monkeypatch):
+    """A stream whose frames are off the CFR grid (decode_frames reports an
+    in-bounds index missing) must NOT ship a silently-wrong frame set — the
+    helper returns None and extract_salient_frames_for_video takes the exact
+    linear cv2 path."""
+    cv2 = pytest.importorskip("cv2")
+    import mmqg_tpu.data.saliency as S
+
+    v = tmp_path / "v.mp4"
+    vw = cv2.VideoWriter(str(v), cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                         (32, 32))
+    for i in range(40):
+        vw.write(np.full((32, 32, 3), (i * 3) % 255, np.uint8))
+    vw.release()
+
+    real = native.decode_frames
+
+    def fake_decode(path, indices, size, **kw):
+        frames, found, pts, tick = real(path, indices, size, **kw)
+        found = found.copy()
+        found[0] = False  # simulate a CFR-grid miss on an in-bounds index
+        return frames, found, pts, tick
+
+    monkeypatch.setattr(native, "decode_frames", fake_decode)
+    assert S._native_salient_frames(v, [(0, 3000)], (32, 32)) is None
+    out = S.extract_salient_frames_for_video(v, [(0, 3000)], (32, 32))
+    assert len(out) == 1 and out[0].shape[0] >= 2  # cv2 path still delivers
+
+
 def test_native_frames_disable_env(tmp_path, monkeypatch):
     monkeypatch.setenv("MMQG_NATIVE_FRAMES", "0")
     from mmqg_tpu.data import saliency as S
