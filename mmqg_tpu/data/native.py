@@ -11,6 +11,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from pathlib import Path
 from typing import List, Optional, Sequence
 
@@ -21,6 +22,11 @@ _NATIVE_DIR = _REPO / "native"
 _LIB_PATH = _NATIVE_DIR / "libmmqg_host.so"
 _lib = None
 _lib_tried = False
+# One lock for both lazy build+load paths: the prep thread pools hit
+# get_lib/get_media_lib concurrently on first use, and without the lock a
+# second thread sees _*_tried=True mid-build and silently degrades to the
+# fallback path (or two `make`s race on the same .so).
+_load_lock = threading.Lock()
 
 
 def _build() -> bool:
@@ -36,6 +42,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
     """Load (building if needed) the native library; None if unavailable."""
     global _lib, _lib_tried
     if _lib is not None or _lib_tried:
+        return _lib
+    with _load_lock:
+        return _get_lib_locked()
+
+
+def _get_lib_locked() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_tried
+    if _lib is not None or _lib_tried:  # built while we waited on the lock
         return _lib
     _lib_tried = True
     if not _LIB_PATH.exists() and not _build():
@@ -84,6 +98,14 @@ _media_tried = False
 
 
 def get_media_lib() -> Optional[ctypes.CDLL]:
+    global _media_lib, _media_tried
+    if _media_lib is not None or _media_tried:
+        return _media_lib
+    with _load_lock:
+        return _get_media_lib_locked()
+
+
+def _get_media_lib_locked() -> Optional[ctypes.CDLL]:
     global _media_lib, _media_tried
     if _media_lib is not None or _media_tried:
         return _media_lib
@@ -180,10 +202,16 @@ def decode_audio(path, target_rate: int, *, channels: int = 1,
 
 
 def video_info(path) -> Optional[dict]:
-    """Video stream metadata: {fps, duration, n_frames, width, height}.
+    """Video stream metadata: {fps, duration, n_frames, n_frames_exact,
+    width, height}.
 
-    None when the media lib is unavailable or the file is unreadable;
-    ValueError when the file is readable but has no video stream."""
+    ``n_frames`` is the container's recorded frame count when present
+    (``n_frames_exact`` True), else an estimate from duration*fps
+    (``n_frames_exact`` False — callers must not treat it as a hard bound:
+    the estimate can undercount by a frame or two when the container
+    duration covers the audio tail). None when the media lib is unavailable
+    or the file is unreadable; ValueError when the file is readable but has
+    no video stream."""
     lib = get_media_lib()
     if lib is None:
         return None
@@ -199,8 +227,10 @@ def video_info(path) -> Optional[dict]:
         raise ValueError(f"{path}: no video stream")
     if rc != 0:
         return None
-    return {"fps": fps.value, "duration": dur.value, "n_frames": nf.value,
-            "width": w.value, "height": h.value}
+    exact = nf.value > 0
+    n_frames = nf.value if exact else int(round(dur.value * fps.value))
+    return {"fps": fps.value, "duration": dur.value, "n_frames": n_frames,
+            "n_frames_exact": exact, "width": w.value, "height": h.value}
 
 
 def decode_frames(path, indices, size: int, *,

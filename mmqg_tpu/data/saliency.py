@@ -76,12 +76,19 @@ def _native_salient_frames(
     # CAP_PROP_POS_MSEC check.
     slack_ms = 2 * step * 1000.0 / fps
     n_frames = info["n_frames"] or 0
+    # The recorded frame count is a hard bound; an ESTIMATED one (duration ×
+    # fps, e.g. mkv/webm without nb_frames) can undercount by a frame or
+    # two, so pad it — over-asking is safe (past-EOF indices just come back
+    # missing), under-asking would silently drop tail frames the cv2 path
+    # keeps.
+    bound = n_frames if info.get("n_frames_exact") else (
+        n_frames + 2 * step if n_frames else 0)
     wanted: set = set()
     for start_ms, end_ms in spans_ms:
         f = max(0, math.floor((start_ms - slack_ms) * fps / 1000.0
                               / step)) * step
         while f * 1000.0 / fps <= end_ms + slack_ms:
-            if n_frames and f >= n_frames:
+            if bound and f >= bound:
                 break
             wanted.add(f)
             f += step
@@ -93,10 +100,16 @@ def _native_salient_frames(
     if res is None:
         return None
     frames, found, pts_s, tick_s = res
-    if n_frames and not found.all():
-        # indices inside the declared frame count failed to decode on the
-        # CFR grid (VFR stream, drops): use the exact linear path instead
-        return None
+    if not found.all():
+        if info.get("n_frames_exact"):
+            # indices inside the declared frame count failed to decode on
+            # the CFR grid (VFR stream, drops): use the exact linear path
+            return None
+        # inexact bound: only a SUFFIX of misses (indices past the real
+        # EOF) is expected; an interior miss means an off-grid stream
+        miss = np.flatnonzero(~found)
+        if found[miss[0]:].any():
+            return None
 
     # cv2's CAP_PROP_POS_MSEC — the reference's frame_time (reference
     # get_salient_frames.py:27) — is read BEFORE grab() and therefore lags
@@ -212,10 +225,13 @@ def save_salient_frames(config, questions: List[Dict],
 def extract_audio(config, video_id: str) -> Path:
     """mp4 -> 44.1 kHz stereo wav (reference dataset/get_audio.py:6-13).
 
-    Demux order: (1) the native in-process decoder (native/mmqg_media.cpp,
-    system libav* — no subprocess per video), (2) the ffmpeg binary (the
-    reference's exact contract), (3) a loud error. Artifact layout and
-    format (44.1 kHz stereo wav under audio_path) match the reference either
+    Demux order PER FILE: (1) the native in-process decoder
+    (native/mmqg_media.cpp, system libav* — no subprocess per video),
+    (2) the ffmpeg binary (the reference's exact contract) for files the
+    native build cannot decode, (3) a loud error naming both. A file with
+    no audio stream raises ValueError from either path (ffmpeg is not
+    retried — it cannot invent a stream). Artifact layout and format
+    (44.1 kHz stereo wav under audio_path) match the reference either
     way."""
     from mmqg_tpu.data import native
 
@@ -224,17 +240,20 @@ def extract_audio(config, video_id: str) -> Path:
     src = Path(config.video_path) / f"{video_id}.mp4"
 
     if native.media_available():
-        pcm = native.decode_audio(src, 44100, channels=2)
-        if pcm is None:
-            # the decoder works; the FILE failed (missing/corrupt container)
-            raise RuntimeError(f"cannot decode audio from {src} "
-                               f"(native libav decoder)")
-        # decode_audio yields int16; write_wav takes float [-1, 1]
-        wavio.write_wav(out, pcm.astype(np.float32) / 32768.0, 44100)
-        return out
+        pcm = native.decode_audio(src, 44100, channels=2)  # no-stream raises
+        if pcm is not None:
+            wavio.write_wav(out, pcm, 44100)  # int16 passthrough, bit-exact
+            return out
+        # fall through: missing/corrupt file OR a codec this libav build
+        # lacks — the (typically more codec-complete) ffmpeg binary may
+        # still decode it
 
     ffmpeg = shutil.which("ffmpeg")
     if ffmpeg is None:
+        if native.media_available():
+            raise RuntimeError(f"cannot decode audio from {src} "
+                               f"(native libav decoder; no ffmpeg binary "
+                               f"on PATH to fall back to)")
         raise RuntimeError(
             "no host audio decoder: the native libav decoder is unavailable "
             "(native/mmqg_media.cpp needs the libav* dev packages) and no "
@@ -306,10 +325,11 @@ def run_prep_pipeline(config) -> Dict[str, int]:
         try:
             extract_audio(config, vid)
             return 1
-        except (RuntimeError, ValueError):
-            # no host decoder, undecodable file, or a video-only mp4: the
-            # clip stage below still covers any pre-staged wavs (the old
-            # behaviour when audio couldn't be extracted)
+        except (RuntimeError, ValueError, subprocess.CalledProcessError):
+            # no host decoder, undecodable file (either decoder), or a
+            # video-only mp4: the clip stage below still covers any
+            # pre-staged wavs (the old behaviour when audio couldn't be
+            # extracted)
             return 0
 
     pending = sorted(
@@ -319,10 +339,14 @@ def run_prep_pipeline(config) -> Dict[str, int]:
         and (Path(config.video_path) / f"{vid}.mp4").exists())
     stats = {}
     if len(pending) > 1:
-        # per-video independent; libav decode releases the GIL like cv2's,
-        # so the audio stage pools exactly as save_salient_frames does
+        # per-video independent; libav decode releases the GIL like cv2's.
+        # Capped at 4 workers: unlike the frame stage (a few hundred small
+        # frames live at once), each audio worker holds a full decoded
+        # track in RAM (~1 GB per 90-minute lecture at 44.1 kHz stereo
+        # int16), so cpu_count workers on a 100-core host would be a
+        # multi-hundred-GB peak.
         from concurrent.futures import ThreadPoolExecutor
-        n_workers = min(os.cpu_count() or 1, len(pending))
+        n_workers = min(os.cpu_count() or 1, len(pending), 4)
         with ThreadPoolExecutor(max_workers=n_workers) as pool:
             stats["audio"] = sum(pool.map(_audio_one, pending))
     else:

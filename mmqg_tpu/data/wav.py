@@ -65,11 +65,20 @@ def read_wav(path: Path) -> Tuple[np.ndarray, int]:
 
 
 def write_wav(path: Path, samples: np.ndarray, rate: int) -> None:
-    """Write float32 [-1,1] (n,) or (n,ch) samples as PCM16 WAV."""
-    samples = np.asarray(samples, dtype=np.float32)
+    """Write (n,) or (n,ch) samples as PCM16 WAV.
+
+    float input is [-1,1] and scaled by 32767; int16 input is written
+    bit-exact (no float round-trip — the native decoder already yields
+    PCM16, and scaling it through floats would cost two full-size copies
+    and a 32767/32768 LSB rescale)."""
+    samples = np.asarray(samples)
     if samples.ndim == 1:
         samples = samples[:, None]
-    pcm = np.clip(samples * 32767.0, -32768, 32767).astype("<i2")
+    if samples.dtype == np.int16:
+        pcm = samples.astype("<i2", copy=False)
+    else:
+        pcm = np.clip(samples.astype(np.float32) * 32767.0,
+                      -32768, 32767).astype("<i2")
     n, ch = pcm.shape
     body = pcm.tobytes()
     byte_rate = rate * ch * 2

@@ -283,6 +283,7 @@ class QGPipeline:
 
         # ---- audio: slice each span from the video's audio track
         audio: Optional[List[Optional[np.ndarray]]] = None
+        no_audio_stream = False
         if audio_path is None and self.mc.mode == "trimodal":
             import shutil
 
@@ -293,13 +294,19 @@ class QGPipeline:
                 # each span at the model rate — no temp wav, no subprocess,
                 # no full-track decode
                 try:
-                    audio = [native.decode_audio(video_path,
-                                                 self.mc.sample_rate,
-                                                 start=a, end=b)
-                             for a, b in spans_s]
-                except ValueError:  # video has no audio stream
-                    audio = None
-            elif shutil.which("ffmpeg"):
+                    decoded = [native.decode_audio(video_path,
+                                                   self.mc.sample_rate,
+                                                   start=a, end=b)
+                               for a, b in spans_s]
+                    if all(d is not None for d in decoded):
+                        audio = decoded
+                    # else: this libav build can't decode the file — fall
+                    # through to the ffmpeg binary below rather than
+                    # silently serving without audio
+                except ValueError:  # video HAS no audio stream: ffmpeg
+                    no_audio_stream = True  # can't invent one either
+            if (audio is None and not no_audio_stream
+                    and shutil.which("ffmpeg")):
                 import subprocess, tempfile
                 tmp = tempfile.NamedTemporaryFile(suffix=".wav", delete=False)
                 tmp.close()

@@ -50,7 +50,11 @@ struct Demux {
     if (avformat_find_stream_info(fmt, nullptr) < 0) return -1;
     const AVCodec* codec = nullptr;
     stream = av_find_best_stream(fmt, type, -1, -1, &codec, 0);
-    if (stream < 0 || !codec) return -2;
+    if (stream == AVERROR_STREAM_NOT_FOUND) return -2;
+    // a stream EXISTS but this libavcodec build lacks its decoder (or some
+    // other failure): that is a capability error (-1, caller falls back to
+    // the ffmpeg binary), NOT "no stream"
+    if (stream < 0 || !codec) return -1;
     dec = avcodec_alloc_context3(codec);
     if (!dec) return -1;
     if (avcodec_parameters_to_context(dec, fmt->streams[stream]->codecpar) < 0)
@@ -181,7 +185,7 @@ long mmqg_decode_audio(const char* path, int target_rate, int channels,
   };
 
   int read_rc = 0;
-  bool draining = false;
+  bool draining = false, dec_eof = false;
   while (!done && !failed) {
     if (!draining) {
       read_rc = av_read_frame(d.fmt, pkt);
@@ -200,7 +204,7 @@ long mmqg_decode_audio(const char* path, int target_rate, int channels,
       int r = avcodec_receive_frame(d.dec, frame);
       if (r == AVERROR(EAGAIN)) break;
       if (r == AVERROR_EOF) {
-        done = done || draining;
+        dec_eof = true;  // tail flush below decides `done`
         break;
       }
       if (r < 0) {
@@ -221,8 +225,9 @@ long mmqg_decode_audio(const char* path, int target_rate, int channels,
       if (!failed) emit();
       if (done) break;
     }
-    if (draining && !done && !failed) {
-      // flush the resampler's tail after the decoder drained
+    if (dec_eof && !done && !failed) {
+      // decoder fully drained: flush the resampler's buffered tail (the
+      // swr delay) before finishing, so to-EOF decodes aren't truncated
       if (rs.swr) {
         if (!rs.convert(nullptr, pending)) failed = true;
         if (!failed && !pending.empty()) emit();
@@ -238,9 +243,10 @@ long mmqg_decode_audio(const char* path, int target_rate, int channels,
 }
 
 // Video stream info. Returns 0 ok, -1 io/parse error, -2 no video stream.
-// fps is the container's average frame rate; n_frames is the stream's frame
-// count when the container records it, else an estimate from duration*fps
-// (0 if neither is known).
+// fps is the container's average frame rate; n_frames is the stream's
+// RECORDED frame count — 0 when the container does not record one (callers
+// that need a bound must estimate from duration*fps and treat it as
+// inexact).
 long mmqg_media_video_info(const char* path, double* fps, double* duration_s,
                            long* n_frames, long* width, long* height) {
   Demux d;
@@ -254,10 +260,7 @@ long mmqg_media_video_info(const char* path, double* fps, double* duration_s,
                    : (double)d.fmt->duration / AV_TIME_BASE;
   if (fps) *fps = r;
   if (duration_s) *duration_s = dur;
-  if (n_frames) {
-    *n_frames = (st->nb_frames > 0) ? (long)st->nb_frames
-                                    : (long)llround(dur * r);
-  }
+  if (n_frames) *n_frames = (st->nb_frames > 0) ? (long)st->nb_frames : 0;
   if (width) *width = d.dec->width;
   if (height) *height = d.dec->height;
   return 0;
