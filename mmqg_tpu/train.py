@@ -38,7 +38,13 @@ from mmqg_tpu.models import qg_model
 
 
 def make_optimizer(config) -> optax.GradientTransformation:
-    """adam/sgd per config.optim (reference config.py:64); optional clip."""
+    """adam/sgd per config.optim (reference config.py:64); optional clip.
+
+    ``text_non_trainable=True`` freezes the GloVe embedding table (the
+    reference declares the same flag at config.py:82 but hardcodes False at
+    its create_emb_layer call, train.py:236 — here the knob works). Frozen
+    = zeroed updates via optax.masked, so the table stays bit-identical to
+    the loaded weight matrix."""
     if config.optim == "adam":
         opt = optax.adam(config.lr)
     elif config.optim == "sgd":
@@ -47,6 +53,15 @@ def make_optimizer(config) -> optax.GradientTransformation:
         raise ValueError(f"unknown optim: {config.optim}")
     if config.grad_clip_norm and config.grad_clip_norm > 0:
         opt = optax.chain(optax.clip_by_global_norm(config.grad_clip_norm), opt)
+    if getattr(config, "text_non_trainable", False):
+        def labels(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: ("freeze"
+                                 if getattr(path[0], "key", None)
+                                 == "embedding" else "train"),
+                params)
+        opt = optax.multi_transform(
+            {"train": opt, "freeze": optax.set_to_zero()}, labels)
     return opt
 
 

@@ -19,7 +19,8 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-from tests.torch_ref import Dims, build_composed, check_greedy, check_teacher_forced  # noqa: E402
+from tests.torch_ref import (Dims, build_composed, check_gradients,  # noqa: E402
+                             check_greedy, check_teacher_forced)
 
 
 def main():
@@ -38,6 +39,12 @@ def main():
     t0 = time.time()
     toks = check_greedy(composed, d, log=print)
     print(f"greedy parity OK in {time.time() - t0:.1f}s; tokens:\n{toks}")
+
+    t0 = time.time()
+    # full-dims grads: looser rtol than the CI test — f32 reductions over
+    # 4096-wide VGGish fc layers accumulate more rounding
+    check_gradients(composed, d, rtol=5e-3, atol=1e-5, log=print)
+    print(f"gradient parity OK in {time.time() - t0:.1f}s")
     print("COMPOSED PARITY AT REFERENCE DIMS: PASS")
 
 

@@ -35,7 +35,8 @@ import numpy as np
 import pytest
 
 from mmqg_tpu.compat import torch_export as TE
-from tests.torch_ref import Dims, build_composed, check_greedy, check_teacher_forced
+from tests.torch_ref import (Dims, build_composed, check_gradients,
+                             check_greedy, check_teacher_forced)
 
 DIMS = Dims(V=40, EMB=8, H=16, NL=3, HV=16, HA=8, CTX_MAX=12, AV_MAX=4,
             TGT=6, FRAME=45, MEL_F=32, MEL_B=32, RATE=1600, WIN=64, HOP=32)
@@ -52,6 +53,14 @@ def test_composed_teacher_forced_logits(composed):
 
 def test_composed_greedy_decode_tokens(composed):
     check_greedy(composed, DIMS)
+
+
+def test_composed_gradient_parity(composed):
+    """Training-step leg of the matched-BLEU argument: jax.grad through the
+    full trimodal loss matches torch autodiff through the composed reference
+    build for EVERY parameter tensor (torch grads mapped into our layout by
+    the same import that maps weights)."""
+    check_gradients(composed, DIMS)
 
 
 def test_composed_export_round_trip(composed):

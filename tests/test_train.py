@@ -40,6 +40,36 @@ def test_checkpoints_written(trainer, tiny_config):
     assert tiny_config.stats_json_path.exists()
 
 
+def test_text_non_trainable_freezes_embedding(tiny_config, tiny_corpus):
+    """config.text_non_trainable=True must keep the GloVe table bit-identical
+    to the loaded weight matrix while every other parameter trains (the
+    reference declares the flag, config.py:82, but hardcodes False at the
+    call site, train.py:236 — ours works)."""
+    import jax
+
+    train_ds = QGDataset(tiny_config, tiny_config.train_file)
+    val_ds = QGDataset(tiny_config, tiny_config.val_file)
+    emb = np.load(tiny_config.weights_matrix_file).astype(np.float32)
+    mc = qg_model.ModelConfig.from_config(
+        tiny_config, n_vocab=len(train_ds.vocab), mode="text")
+    cfg = tiny_config.replace(lr=5e-3, text_non_trainable=True)
+    tr = Trainer(cfg, mc, emb, train_ds, val_ds, log_fn=lambda *a: None)
+    tr.fit(epochs=1)
+    table = np.asarray(tr.train_state["params"]["embedding"]["table"])
+    np.testing.assert_array_equal(table, emb)
+    # everything else moved
+    other = [float(np.abs(np.asarray(l)).max()) for l in jax.tree.leaves(
+        jax.tree.map(lambda a: a, tr.train_state["params"]["decoder"]))]
+    assert any(o > 0 for o in other)
+    fresh_dec = qg_model.init(jax.random.PRNGKey(0), mc, emb)[0]["decoder"]
+    moved = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        tr.train_state["params"]["decoder"], fresh_dec))
+    # decoder params differ from a fresh init (i.e. training happened);
+    # init is seeded identically inside Trainer so nonzero delta = updates
+    assert max(moved) > 0
+
+
 def test_resume_restores_progress(trainer, tiny_config):
     from mmqg_tpu.data.dataset import QGDataset
     train_ds = QGDataset(tiny_config, tiny_config.train_file)

@@ -192,11 +192,12 @@ def build_composed(d: Dims, seed: int = 0):
     return modules, mc, params, state, batch
 
 
-def oracle_encode(modules, d: Dims, batch, b):
-    """Per-sample reference encode (train.py:144-169 semantics, fixed)."""
+def oracle_encode(modules, d: Dims, batch, b, grad: bool = False):
+    """Per-sample reference encode (train.py:144-169 semantics, fixed).
+    ``grad=True`` keeps the autograd graph (for update-parity checks)."""
     n_ctx = int(batch["context_len"][b])
     n_frames = int(batch["frames_len"][b])
-    with torch.no_grad():
+    with torch.set_grad_enabled(grad):
         # text: token-stepped LSTM into a zeros buffer (train.py:160-166);
         # equivalent to one packed run over the true length
         ids = torch.tensor(
@@ -262,6 +263,95 @@ def check_teacher_forced(composed, d: Dims, atol=2e-4, log=lambda *a: None):
                     err_msg=f"sample {b} step {t}")
                 tok = int(batch["target_ids"][b, t])  # teacher forcing
         log(f"sample {b}: {T} teacher-forced steps match (max |d|={worst:.2e})")
+    return worst
+
+
+def check_gradients(composed, d: Dims, rtol=2e-3, atol=3e-5,
+                    log=lambda *a: None):
+    """FULL-MODEL gradient parity: torch autodiff through the composed
+    reference build vs jax.grad through qg_model.loss_fn, same objective
+    (mean over samples of per-sample summed teacher-forced CE — reference
+    train.py:174-177 backprops the per-sample sum; batch-mean is our
+    batched equivalent). Eval-mode BN/no dropout on both sides so the
+    regimes match (the reference trains batch-1, where batch-stats are
+    degenerate anyway).
+
+    Torch grads are mapped into our layout by running the SAME
+    import_checkpoint used for weights — every weight transform is a pure
+    relabeling/permutation (the /255 dequant fold happens functionally at
+    call time, so it cancels out of the gradient map), hence grads transform
+    identically. This closes the matched-BLEU argument's training leg:
+    identical forwards (check_teacher_forced) + identical gradients +
+    per-parameter Adam = matched training trajectories."""
+    modules, mc, params, state, batch = composed
+    B, T = batch["target_ids"].shape
+
+    # ---- jax side
+    def lf(p):
+        return qg_model.loss_fn(p, state, mc, batch, train=False,
+                                use_pallas=False, dtype=jnp.float32)[0]
+    jloss, jgrads = jax.value_and_grad(lf)(params)
+
+    # ---- torch side (same objective)
+    for m in modules.values():
+        for p in m.parameters():
+            p.grad = None
+    total = 0.0
+    for b in range(B):
+        mems, lens, hidden = oracle_encode(modules, d, batch, b, grad=True)
+        tok, loss_b = START_ID, 0.0
+        for t in range(T):
+            e = modules["emb"](torch.tensor([[tok]]))[0]
+            logits, hidden = modules["dec"](e, mems, lens, hidden)
+            loss_b = loss_b + F.cross_entropy(
+                logits, torch.tensor([int(batch["target_ids"][b, t])]))
+            tok = int(batch["target_ids"][b, t])
+        total = total + loss_b
+    tloss = total / B
+    tloss.backward()
+    np.testing.assert_allclose(float(jloss), float(tloss.detach()),
+                               rtol=1e-4)
+
+    # ---- map torch grads into our pytree via the import itself
+    def grads_sd(module, prefix=""):
+        out = {}
+        grads = {n: p.grad for n, p in module.named_parameters()}
+        for k, v in module.state_dict().items():
+            g = grads.get(k)
+            if g is None or "bias_hh" in k:
+                # buffers have no grad; torch's redundant second LSTM bias
+                # must map to ZERO — the import SUMS b_ih+b_hh into our
+                # single b, but the grad pullback of a sum-map is copy
+                # (dL/db_ih == dL/db_hh == dL/db), not sum
+                out[prefix + k] = np.zeros_like(v.numpy())
+            else:
+                out[prefix + k] = g.numpy()
+        return out
+
+    av_g = grads_sd(modules["video"], "video_enc.")
+    av_g.update(grads_sd(modules["vggish"], "audio_enc.vggish."))
+    text_g = grads_sd(modules["text"], "lstm.")
+    emb_g = modules["emb"].weight.grad.numpy()
+    text_g["word_embeddings.weight"] = emb_g
+    dec_g = grads_sd(modules["dec"])
+    dec_g["emb_layer.weight"] = emb_g
+    tgrads, _ = TI.import_checkpoint(av_g, text_g, dec_g, emb_g, mc)
+
+    worst = {}
+    flat_j = jax.tree_util.tree_flatten_with_path(jgrads)[0]
+    flat_t = dict(jax.tree_util.tree_flatten_with_path(tgrads)[0])
+    assert len(flat_j) == len(flat_t)
+    for path, gj in flat_j:
+        name = jax.tree_util.keystr(path)
+        gt = np.asarray(flat_t[path])
+        gj = np.asarray(gj)
+        np.testing.assert_allclose(gj, gt, rtol=rtol, atol=atol,
+                                   err_msg=f"grad mismatch at {name}")
+        denom = max(float(np.abs(gt).max()), 1e-12)
+        worst[name] = float(np.abs(gj - gt).max()) / denom
+    top = sorted(worst.items(), key=lambda kv: -kv[1])[:3]
+    log(f"loss {float(jloss):.6f}; {len(flat_j)} grad tensors match; "
+        f"worst rel {top}")
     return worst
 
 
