@@ -1,0 +1,88 @@
+"""Per-modality forward/backward split of the BUCKETED train step at B=64
+(the production operating point, PERF.md training table) — determines
+whether any training-side optimisation headroom remains or the step is at
+the conv stack's measured XLA ceiling."""
+
+import time
+
+import jax
+import numpy as np
+
+import __graft_entry__ as entry_mod
+from mmqg_tpu import decode as DEC
+from mmqg_tpu.config import Config
+from mmqg_tpu.models import qg_model
+from mmqg_tpu.train import init_train_state, make_optimizer, make_train_step
+
+
+def timeit(fn, *args, n=6):
+    out = fn(*args)
+    np.asarray(jax.tree.leaves(out)[0].ravel()[0])
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(n)]
+    for o in outs:
+        np.asarray(jax.tree.leaves(o)[0].ravel()[0])
+    return (time.perf_counter() - t0) / n * 1e3
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    B = 64
+    mc0, params, state, arrays = entry_mod._flagship(batch=B, audio_seconds=32)
+    emb = np.zeros((mc0.n_vocab, mc0.word_emb_dim), np.float32)
+    optimizer = make_optimizer(Config())
+    arrays["target_len"] = np.maximum(arrays["target_len"], 1)
+    dev = {k: jax.device_put(v) for k, v in arrays.items()}
+    av = mc0.av_max_length
+    need = min(DEC.audio_examples_needed(mc0, arrays["audio_len"]), av)
+    acap = DEC._bucket(max(1, need), av)
+    fcap = DEC.frames_bucket(mc0, arrays["frames_len"])
+    print(f"B={B} acap={acap} fcap={fcap}", flush=True)
+
+    for mode in ("text", "text_video", "trimodal"):
+        mc = mc0._replace(mode=mode)
+        ts = jax.device_put(init_train_state(jax.random.PRNGKey(0), mc, emb,
+                                             optimizer))
+        rng = jax.random.PRNGKey(1)
+        a = acap if mode == "trimodal" else None
+        f = fcap if mode != "text" else None
+
+        def fwd(params, model_state, batch, rng):
+            return qg_model.loss_fn(params, model_state, mc, batch,
+                                    train=True, dropout_rng=rng,
+                                    use_pallas=False, audio_cap=a,
+                                    frames_cap=f)[0]
+        fwd_j = jax.jit(fwd)
+
+        def vg(params, model_state, batch, rng):
+            def lf(p):
+                return qg_model.loss_fn(p, model_state, mc, batch,
+                                        train=True, dropout_rng=rng,
+                                        use_pallas=False, audio_cap=a,
+                                        frames_cap=f)
+            (loss, _), grads = jax.value_and_grad(lf, has_aux=True)(params)
+            return loss, grads
+        vg_j = jax.jit(vg)
+
+        ms_f = timeit(fwd_j, ts["params"], ts["model_state"], dev, rng)
+        ms_b = timeit(vg_j, ts["params"], ts["model_state"], dev, rng)
+
+        step = make_train_step(mc, optimizer, use_pallas=False,
+                               audio_cap=a, frames_cap=f)
+        ts2 = jax.device_put(jax.tree.map(np.asarray, ts))
+        ts2, m = step(ts2, dev, rng)
+        np.asarray(m["loss"])
+        n = 6
+        t0 = time.perf_counter()
+        for i in range(n):
+            ts2, m = step(ts2, dev, jax.random.fold_in(rng, i))
+        np.asarray(m["loss"])
+        ms_s = (time.perf_counter() - t0) / n * 1e3
+        print(f"mode={mode:11s} fwd={ms_f:7.1f}  fwd+bwd={ms_b:7.1f} "
+              f"(bwd/fwd={(ms_b - ms_f) / max(ms_f, 1e-9):.2f})  "
+              f"step={ms_s:7.1f} ms  ({B / ms_s * 1e3:.0f} samples/s)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
