@@ -27,20 +27,22 @@ def timeit(fn, *args, n=6):
 
 def main():
     print("devices:", jax.devices(), flush=True)
-    B = 64
-    mc0, params, state, arrays = entry_mod._flagship(batch=B, audio_seconds=32)
-    emb = np.zeros((mc0.n_vocab, mc0.word_emb_dim), np.float32)
-    optimizer = make_optimizer(Config())
-    arrays["target_len"] = np.maximum(arrays["target_len"], 1)
-    dev = {k: jax.device_put(v) for k, v in arrays.items()}
-    av = mc0.av_max_length
-    need = min(DEC.audio_examples_needed(mc0, arrays["audio_len"]), av)
-    acap = DEC._bucket(max(1, need), av)
-    fcap = DEC.frames_bucket(mc0, arrays["frames_len"])
-    print(f"B={B} acap={acap} fcap={fcap}", flush=True)
-
-    for mode in ("text", "text_video", "trimodal"):
+    # trimodal at B=32: the UNDONATED fwd+bwd (grads+params coexisting, no
+    # buffer reuse) does not fit 16 GB HBM at B=64 — the donated full train
+    # step does (PERF.md training table), which is the point of donation
+    for mode, B in (("text", 64), ("text_video", 64), ("trimodal", 32)):
+        mc0, params, state, arrays = entry_mod._flagship(batch=B,
+                                                         audio_seconds=32)
+        emb = np.zeros((mc0.n_vocab, mc0.word_emb_dim), np.float32)
+        optimizer = make_optimizer(Config())
+        arrays["target_len"] = np.maximum(arrays["target_len"], 1)
+        dev = {k: jax.device_put(v) for k, v in arrays.items()}
+        av = mc0.av_max_length
+        need = min(DEC.audio_examples_needed(mc0, arrays["audio_len"]), av)
+        acap = DEC._bucket(max(1, need), av)
+        fcap = DEC.frames_bucket(mc0, arrays["frames_len"])
         mc = mc0._replace(mode=mode)
+        print(f"mode={mode} B={B} acap={acap} fcap={fcap}", flush=True)
         ts = jax.device_put(init_train_state(jax.random.PRNGKey(0), mc, emb,
                                              optimizer))
         rng = jax.random.PRNGKey(1)
@@ -66,22 +68,14 @@ def main():
 
         ms_f = timeit(fwd_j, ts["params"], ts["model_state"], dev, rng)
         ms_b = timeit(vg_j, ts["params"], ts["model_state"], dev, rng)
-
-        step = make_train_step(mc, optimizer, use_pallas=False,
-                               audio_cap=a, frames_cap=f)
-        ts2 = jax.device_put(jax.tree.map(np.asarray, ts))
-        ts2, m = step(ts2, dev, rng)
-        np.asarray(m["loss"])
-        n = 6
-        t0 = time.perf_counter()
-        for i in range(n):
-            ts2, m = step(ts2, dev, jax.random.fold_in(rng, i))
-        np.asarray(m["loss"])
-        ms_s = (time.perf_counter() - t0) / n * 1e3
+        # full-step numbers live in PERF.md (bench_train_sweep.py); holding
+        # a second train state here OOMs the trimodal B=64 case
         print(f"mode={mode:11s} fwd={ms_f:7.1f}  fwd+bwd={ms_b:7.1f} "
-              f"(bwd/fwd={(ms_b - ms_f) / max(ms_f, 1e-9):.2f})  "
-              f"step={ms_s:7.1f} ms  ({B / ms_s * 1e3:.0f} samples/s)",
+              f"(bwd/fwd={(ms_b - ms_f) / max(ms_f, 1e-9):.2f})",
               flush=True)
+        del ts
+        fwd_j.clear_cache()
+        vg_j.clear_cache()
 
 
 if __name__ == "__main__":

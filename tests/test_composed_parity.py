@@ -63,6 +63,18 @@ def test_composed_gradient_parity(composed):
     check_gradients(composed, DIMS)
 
 
+def test_composed_training_trajectory_equivalence():
+    """Reference-style torch training and our jitted trainer, from the same
+    init on the same sample order, produce the same per-step losses through
+    12 real Adam updates (optimizer-structure quirks normalised and
+    documented — see check_training_equivalence). Builds its OWN composed
+    model: the check mutates the torch weights."""
+    from tests.torch_ref import check_training_equivalence
+
+    fresh = build_composed(DIMS, seed=0)
+    check_training_equivalence(fresh, DIMS)
+
+
 def test_composed_export_round_trip(composed):
     """Imported reference checkpoint -> export_checkpoint reproduces the
     original four state_dicts (fixpoint through the composed mapping)."""

@@ -40,7 +40,8 @@ def test_checkpoints_written(trainer, tiny_config):
     assert tiny_config.stats_json_path.exists()
 
 
-def test_text_non_trainable_freezes_embedding(tiny_config, tiny_corpus):
+def test_text_non_trainable_freezes_embedding(tiny_config, tiny_corpus,
+                                              tmp_path):
     """config.text_non_trainable=True must keep the GloVe table bit-identical
     to the loaded weight matrix while every other parameter trains (the
     reference declares the flag, config.py:82, but hardcodes False at the
@@ -52,7 +53,12 @@ def test_text_non_trainable_freezes_embedding(tiny_config, tiny_corpus):
     emb = np.load(tiny_config.weights_matrix_file).astype(np.float32)
     mc = qg_model.ModelConfig.from_config(
         tiny_config, n_vocab=len(train_ds.vocab), mode="text")
-    cfg = tiny_config.replace(lr=5e-3, text_non_trainable=True)
+    # own output dir: the frozen-embedding opt_state has a different pytree
+    # structure, and this fit() must not overwrite the session trainer's
+    # best/last checkpoints that the resume test loads
+    cfg = tiny_config.replace(lr=5e-3, text_non_trainable=True,
+                              output_path=tmp_path / "results")
+    cfg.ensure_dirs()
     tr = Trainer(cfg, mc, emb, train_ds, val_ds, log_fn=lambda *a: None)
     tr.fit(epochs=1)
     table = np.asarray(tr.train_state["params"]["embedding"]["table"])

@@ -355,6 +355,80 @@ def check_gradients(composed, d: Dims, rtol=2e-3, atol=3e-5,
     return worst
 
 
+def check_training_equivalence(composed, d: Dims, steps: int = 12,
+                               lr: float = 1e-3, rtol: float = 2e-3,
+                               log=lambda *a: None):
+    """END-TO-END training-trajectory equivalence: reference-style torch
+    training (per-sample loop, teacher-forced summed CE, Adam — reference
+    train.py:144-181) and our jitted train step, from the SAME init on the
+    SAME sample order, must produce the same per-step losses.
+
+    Two documented reference optimizer-structure quirks are normalised out
+    (PARITY.md "optimizer quirks"): (1) the shared embedding registered in
+    two optimizers (we register every parameter once); (2) torch LSTM's
+    duplicated bias b_ih+b_hh — two tensors with identical gradients each
+    taking an Adam step, so the EFFECTIVE bias moves twice as far per step
+    as a single-bias parameterisation; b_hh is frozen here so both sides
+    step each effective parameter exactly once. Everything else — model
+    math, gradients, Adam(lr, 0.9/0.999, eps 1e-8) — is identical and this
+    check proves it through ``steps`` real updates."""
+    import optax
+
+    from mmqg_tpu.train import make_train_step
+
+    modules, mc, params, state, batch = composed
+    B, T = batch["target_ids"].shape
+
+    # ---- jax trainer from the imported (shared) init
+    opt = optax.adam(lr)
+    ts = {"params": params, "model_state": state,
+          "opt_state": opt.init(params), "step": jnp.zeros((), jnp.int32)}
+    step_fn = make_train_step(mc, opt, use_pallas=False, dtype=jnp.float32,
+                              donate=False)
+
+    # ---- torch trainer (reference style, quirks normalised)
+    for m in modules.values():
+        m.train()
+    torch_params = list(modules["emb"].parameters())
+    for name in ("text", "video", "vggish", "dec"):
+        for pname, p in modules[name].named_parameters():
+            if "bias_hh" in pname:
+                p.requires_grad_(False)  # quirk (2) above
+            else:
+                torch_params.append(p)
+    topt = torch.optim.Adam(torch_params, lr=lr)
+
+    j_losses, t_losses = [], []
+    rng = jax.random.PRNGKey(3)
+    for s in range(steps):
+        b = s % B
+        sample = {k: np.asarray(v[b:b + 1]) for k, v in batch.items()}
+
+        ts, metrics = step_fn(ts, jax.device_put(sample),
+                              jax.random.fold_in(rng, s))
+        j_losses.append(float(metrics["loss"]))
+
+        topt.zero_grad()
+        mems, lens, hidden = oracle_encode(modules, d, sample, 0, grad=True)
+        tok, loss = START_ID, 0.0
+        for t in range(T):
+            e = modules["emb"](torch.tensor([[tok]]))[0]
+            logits, hidden = modules["dec"](e, mems, lens, hidden)
+            loss = loss + F.cross_entropy(
+                logits, torch.tensor([int(sample["target_ids"][0, t])]))
+            tok = int(sample["target_ids"][0, t])
+        loss.backward()
+        topt.step()
+        # metrics["loss"] is the per-token mean; the torch loop summed
+        t_losses.append(float(loss.detach())
+                        / float(sample["target_len"][0]))
+
+        log(f"step {s} (sample {b}): jax {j_losses[-1]:.6f} "
+            f"torch {t_losses[-1]:.6f}")
+    np.testing.assert_allclose(j_losses, t_losses, rtol=rtol)
+    return j_losses, t_losses
+
+
 def check_greedy(composed, d: Dims, log=lambda *a: None):
     """Greedy tokens identical through the real serving path
     (decode.decode_batch; reference evaluate.py:70-103)."""
