@@ -23,7 +23,7 @@ Package layout:
   ops/             pallas kernels + XLA reference impls (attention, lstm, mel, resize)
   parallel/        mesh construction, sharding rules, pjit'd train/eval steps
   train.py         batched teacher-forced trainer (reference train.py:131-218)
-  evaluate.py      batched greedy/sampling/topk/beam decode (reference evaluate.py:34-127)
+  evaluate.py      batched greedy/sampling/topk/topp/beam decode (reference evaluate.py:34-127)
   checkpoint.py    best/last checkpoints + resume (reference train.py:197-214 had save-only)
   metrics.py       standard BLEU + reference-compat mode (reference train.py:115-119)
 """

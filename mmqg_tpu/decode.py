@@ -10,6 +10,8 @@ at evaluate.py:101-103).
 Strategies (reference evaluate.py:74-99):
   greedy    argmax over softmax                      (:74-82)
   sampling  categorical draw from softmax            (:84-92)
+  topp      nucleus sampling (NEW) — smallest prefix of the sorted
+            distribution reaching mass p
   topk      top-k truncated sampling; the reference's ``topk(1)`` (:94-99) is
             k=1, i.e. greedy — k is a parameter here
   beam      NEW capability (BASELINE.json requires beam decode): batched
@@ -32,7 +34,8 @@ from mmqg_tpu.models import qg_model
 _NEG_INF = -1e30
 
 
-def _select_token(strategy: str, logits: jnp.ndarray, rng, k: int) -> jnp.ndarray:
+def _select_token(strategy: str, logits: jnp.ndarray, rng, k: int,
+                  p: float = 0.9) -> jnp.ndarray:
     """(B, V) logits -> (B,) next tokens."""
     if strategy == "greedy":
         return jnp.argmax(logits, axis=-1)
@@ -44,6 +47,20 @@ def _select_token(strategy: str, logits: jnp.ndarray, rng, k: int) -> jnp.ndarra
         vals, idx = lax.top_k(logits, k)
         choice = jax.random.categorical(rng, vals.astype(jnp.float32), axis=-1)
         return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
+    if strategy == "topp":
+        # nucleus sampling (Holtzman et al. 2019): sample from the smallest
+        # prefix of the sorted distribution whose mass reaches p. Everything
+        # stays batched inside the scan — one sort + cumsum per step.
+        lg = logits.astype(jnp.float32)
+        probs = jax.nn.softmax(lg, axis=-1)
+        sp = jnp.sort(probs, axis=-1)[..., ::-1]          # descending
+        csum = jnp.cumsum(sp, axis=-1)
+        # first index where the prefix reaches p (fp-safe for p ~ 1.0);
+        # that prob is the inclusion threshold — ties all stay in
+        cut = jnp.argmax(csum >= min(p, 1.0 - 1e-6), axis=-1)
+        thresh = jnp.take_along_axis(sp, cut[:, None], axis=-1)
+        masked = jnp.where(probs >= thresh, lg, _NEG_INF)
+        return jax.random.categorical(rng, masked, axis=-1)
     raise ValueError(f"unknown strategy: {strategy}")
 
 
@@ -106,8 +123,8 @@ def encode_jit(params, state, mc: qg_model.ModelConfig, batch,
     return mem, dec_state
 
 
-@partial(jax.jit, static_argnames=("strategy", "max_len", "k", "use_pallas",
-                                   "dec_kind", "dtype"))
+@partial(jax.jit, static_argnames=("strategy", "max_len", "k", "p",
+                                   "use_pallas", "dec_kind", "dtype"))
 def decode_from_memories(
     params: Dict,
     mem: D.Memories,
@@ -117,6 +134,7 @@ def decode_from_memories(
     strategy: str = "greedy",
     max_len: int = 21,
     k: int = 1,
+    p: float = 0.9,
     use_pallas: bool = True,
     dec_kind: str = "attn",
     dtype=jnp.bfloat16,
@@ -136,7 +154,8 @@ def decode_from_memories(
             logits, new_state = D.non_attn_step(params["decoder"], emb_table,
                                                 tok, av_vec, dec_state,
                                                 train=False, dtype=dtype)
-        nxt = _select_token(strategy, logits, jax.random.fold_in(rng, t), k)
+        nxt = _select_token(strategy, logits, jax.random.fold_in(rng, t), k,
+                            p)
         nxt = jnp.where(finished, PAD_ID, nxt)
         # PAD is terminal too: hosts truncate at the first PAD/END
         # (tokens_to_words), so anything generated past an emitted PAD
@@ -160,6 +179,7 @@ def decode_batch(
     strategy: str = "greedy",
     max_len: int = 21,
     k: int = 1,
+    p: float = 0.9,
     use_pallas: bool = True,
     audio_cap: Optional[int] = None,
     frames_cap: Optional[int] = None,
@@ -177,11 +197,11 @@ def decode_batch(
                                 fcap, dtype)
     return decode_from_memories(params, mem, dec_state, rng,
                                 strategy=strategy, max_len=max_len, k=k,
-                                use_pallas=use_pallas, dec_kind=mc.decoder,
-                                dtype=dtype)
+                                p=p, use_pallas=use_pallas,
+                                dec_kind=mc.decoder, dtype=dtype)
 
 
-@partial(jax.jit, static_argnames=("mc", "strategy", "max_len", "k",
+@partial(jax.jit, static_argnames=("mc", "strategy", "max_len", "k", "p",
                                    "use_pallas", "audio_cap", "frames_cap"))
 def decode_batch_fused(
     params: Dict,
@@ -193,6 +213,7 @@ def decode_batch_fused(
     strategy: str = "greedy",
     max_len: int = 21,
     k: int = 1,
+    p: float = 0.9,
     use_pallas: bool = True,
     audio_cap: Optional[int] = None,
     frames_cap: Optional[int] = None,
@@ -210,7 +231,8 @@ def decode_batch_fused(
                                         frames_cap=frames_cap)
     return decode_from_memories(params, mem, dec_state, rng,
                                 strategy=strategy, max_len=max_len, k=k,
-                                use_pallas=use_pallas, dec_kind=mc.decoder)
+                                p=p, use_pallas=use_pallas,
+                                dec_kind=mc.decoder)
 
 
 @partial(jax.jit, static_argnames=("max_len", "beam_size", "use_pallas",

@@ -1,7 +1,8 @@
 """Evaluation / inference driver (reference evaluate.py:34-229 rebuilt).
 
 CLI contract parity: ``--best/--last``, ``--config_path``, ``--strategy``
-(greedy | sampling | topk | beam — beam is new), predictions dumped to
+(greedy | sampling | topk | topp | beam — topp and beam are new),
+predictions dumped to
 ``{best|last}_predictions_<strategy>.json`` with the reference's record schema
 {question_id, gt_question, pred_question} (reference evaluate.py:114-118,
 220-227), plus the BLEU suite printed and returned.
@@ -40,6 +41,7 @@ def evaluate(
     pred_max_len: int = 21,
     beam_size: int = 4,
     topk: int = 1,
+    topp: float = 0.9,
     seed: int = 0,
     use_pallas: bool = True,
     compat_bleu: bool = False,
@@ -73,8 +75,8 @@ def evaluate(
             rng, k = jax.random.split(rng)
             toks = DEC.decode_batch(
                 params, model_state, mc, arrays, k, strategy=strategy,
-                max_len=pred_max_len, k=topk, use_pallas=use_pallas,
-                audio_cap=cap, frames_cap=fcap)
+                max_len=pred_max_len, k=topk, p=topp,
+                use_pallas=use_pallas, audio_cap=cap, frames_cap=fcap)
         word_rows = DEC.tokens_to_words(np.asarray(toks),
                                         dataset.index_to_word)
         for words, q, qid, ok in zip(word_rows, batch.questions,
@@ -102,7 +104,8 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
                         help="get last epoch results")
     parser.add_argument("-c", "--config_path", type=str, required=True)
     parser.add_argument("-s", "--strategy", type=str, required=True,
-                        choices=["greedy", "sampling", "topk", "beam"])
+                        choices=["greedy", "sampling", "topk", "topp",
+                                 "beam"])
     parser.add_argument("--mode", type=str, default="trimodal",
                         choices=list(qg_model.MODES))
     parser.add_argument("--decoder", type=str, default="attn",
@@ -112,6 +115,10 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard evaluation batches over all devices "
                              "(a data-axis Mesh; params replicate)")
+    parser.add_argument("--top-k", type=int, default=1,
+                        help="k for -s topk (reference used 1)")
+    parser.add_argument("--top-p", type=float, default=0.9,
+                        help="nucleus mass for -s topp")
     parser.add_argument("--streaming", action="store_true",
                         help="stream test batches from disk (double-buffered "
                              "pack pool) instead of materialising the split "
@@ -159,6 +166,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
         params, model_state, mc, dataset,
         strategy=args.strategy, batch_size=config.eval_batch_size,
         pred_max_len=config.question_max_length, beam_size=config.beam_size,
+        topk=args.top_k, topp=args.top_p,
         use_pallas=config.use_pallas, compat_bleu=args.compat_bleu, mesh=mesh)
 
     out_path = config.output_path / f"{alias}_predictions_{args.strategy}.json"

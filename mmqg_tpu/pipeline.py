@@ -178,12 +178,13 @@ class QGPipeline:
         strategy: str = "greedy",
         beam_size: Optional[int] = None,
         topk: int = 1,
+        top_p: float = 0.9,
         seed: int = 0,
     ) -> List[str]:
         """Generate one question per input example."""
         return self.generate_async(contexts, frames, audio,
                                    strategy=strategy, beam_size=beam_size,
-                                   topk=topk, seed=seed)()
+                                   topk=topk, top_p=top_p, seed=seed)()
 
     def generate_async(
         self,
@@ -194,6 +195,7 @@ class QGPipeline:
         strategy: str = "greedy",
         beam_size: Optional[int] = None,
         topk: int = 1,
+        top_p: float = 0.9,
         seed: int = 0,
     ):
         """Dispatch the decode and return a zero-arg finalizer.
@@ -224,7 +226,8 @@ class QGPipeline:
             toks = DEC.decode_batch(
                 self.params, self.model_state, self.mc, batch,
                 jax.random.PRNGKey(seed), strategy=strategy, max_len=max_len,
-                k=topk, use_pallas=use_pallas, audio_cap=cap, frames_cap=fcap)
+                k=topk, p=top_p, use_pallas=use_pallas, audio_cap=cap,
+                frames_cap=fcap)
         return lambda: self._to_words(toks)[:n]
 
     # ------------------------------------------------ raw-video end-to-end
@@ -239,6 +242,7 @@ class QGPipeline:
         strategy: str = "greedy",
         beam_size: Optional[int] = None,
         topk: int = 1,
+        top_p: float = 0.9,
         seed: int = 0,
     ) -> List[str]:
         """Videos in, questions out — the full end-to-end path the north star
@@ -323,7 +327,8 @@ class QGPipeline:
                      for a, b in spans_s]
 
         return self.generate(contexts, frames, audio, strategy=strategy,
-                             beam_size=beam_size, topk=topk, seed=seed)
+                             beam_size=beam_size, topk=topk, top_p=top_p,
+                             seed=seed)
 
     def _shard_request(self, batch: Dict) -> Dict:
         """Pad the request to a data-axis multiple (padded rows are trimmed

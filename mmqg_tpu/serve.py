@@ -179,7 +179,8 @@ def main(argv=None) -> None:
     parser.add_argument("-b", "--best", action="store_true")
     parser.add_argument("-l", "--last", action="store_true")
     parser.add_argument("-s", "--strategy", type=str, default="beam",
-                        choices=["greedy", "sampling", "topk", "beam"])
+                        choices=["greedy", "sampling", "topk", "topp",
+                                 "beam"])
     parser.add_argument("--mode", type=str, default="trimodal",
                         choices=["text", "text_video", "trimodal"])
     parser.add_argument("--decoder", type=str, default="attn",

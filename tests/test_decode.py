@@ -1,4 +1,5 @@
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -59,6 +60,35 @@ def test_sampling_and_topk_run(setup):
                                 jax.random.PRNGKey(1), strategy=strat,
                                 max_len=6, k=k, use_pallas=False)
         assert toks.shape == (batch["context_ids"].shape[0], 6)
+
+
+def test_topp_nucleus_semantics():
+    """Nucleus sampling draws ONLY from the smallest prefix of the sorted
+    distribution reaching mass p, with renormalised frequencies; p→0
+    degenerates to greedy, p=1.0 covers the full support."""
+    rng = jax.random.PRNGKey(0)
+    logits = jnp.asarray(
+        np.log(np.array([[0.5, 0.3, 0.15, 0.04, 0.01]], np.float32)))
+
+    def pick(tag, i, p):
+        return int(DEC._select_token(
+            "topp", logits, jax.random.fold_in(rng, tag + i), 1, p)[0])
+
+    toks = np.array([pick(0, i, 0.7) for i in range(400)])
+    counts = np.bincount(toks, minlength=5)
+    assert counts[2:].sum() == 0          # nucleus at p=0.7 is {0, 1}
+    assert abs(counts[0] / 400 - 0.5 / 0.8) < 0.08   # renormalised freq
+    full = np.bincount([pick(1000, i, 1.0) for i in range(800)], minlength=5)
+    assert (full > 0).all()               # p=1.0 keeps the full support
+    assert {pick(2000, i, 0.01) for i in range(50)} == {0}  # p→0 == greedy
+
+
+def test_topp_decode_batch_runs(setup):
+    mc, params, state, batch, ds = setup
+    toks = DEC.decode_batch(params, state, mc, batch, jax.random.PRNGKey(1),
+                            strategy="topp", p=0.9, max_len=6,
+                            use_pallas=False)
+    assert toks.shape == (batch["context_ids"].shape[0], 6)
 
 
 def test_topk1_equals_greedy(setup):
