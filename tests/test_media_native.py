@@ -231,6 +231,42 @@ def test_native_salient_frames_match_cv2(tmp_path):
             assert d.mean() < 3 and d.max() <= 16  # resize/CSC rounding only
 
 
+def test_native_salient_frames_property_random_spans(tmp_path):
+    """Property check over random fps/duration/span patterns: the native
+    seek path must select exactly the same frame COUNT per span as the cv2
+    linear path (selection parity), including overlapping, boundary-touching,
+    empty, and past-EOF spans."""
+    cv2 = pytest.importorskip("cv2")
+    import mmqg_tpu.data.saliency as S
+
+    rng = np.random.RandomState(42)
+    for case, (fps, seconds) in enumerate([(7, 19), (24, 11), (13, 23)]):
+        v = tmp_path / f"p{case}.mp4"
+        vw = cv2.VideoWriter(str(v), cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                             (64, 48))
+        for i in range(fps * seconds):
+            vw.write(np.full((48, 64, 3), (i * 5) % 255, np.uint8))
+        vw.release()
+
+        spans = []
+        for _ in range(6):
+            a = int(rng.uniform(0, seconds * 1200))      # some past EOF
+            b = a + int(rng.uniform(0, 6000))
+            spans.append((a, b))
+        nat = S._native_salient_frames(v, spans, (32, 32))
+        assert nat is not None
+        orig = S._native_salient_frames
+        S._native_salient_frames = lambda *a: None
+        try:
+            ref = S.extract_salient_frames_for_video(v, spans, (32, 32))
+        finally:
+            S._native_salient_frames = orig
+        for i, (a, b) in enumerate(zip(nat, ref)):
+            assert a.shape == b.shape, (
+                f"case {case} fps={fps} span {i} {spans[i]}: "
+                f"native {a.shape} != cv2 {b.shape}")
+
+
 def test_vfr_stream_falls_back_to_cv2(tmp_path, monkeypatch):
     """A stream whose frames are off the CFR grid (decode_frames reports an
     in-bounds index missing) must NOT ship a silently-wrong frame set — the
