@@ -50,14 +50,19 @@ def _select_token(strategy: str, logits: jnp.ndarray, rng, k: int,
     if strategy == "topp":
         # nucleus sampling (Holtzman et al. 2019): sample from the smallest
         # prefix of the sorted distribution whose mass reaches p. Everything
-        # stays batched inside the scan — one sort + cumsum per step.
+        # stays batched inside the scan — one sort + cumsum per step. ``p``
+        # is a TRACED scalar so sweeping it reuses one compiled program.
         lg = logits.astype(jnp.float32)
         probs = jax.nn.softmax(lg, axis=-1)
         sp = jnp.sort(probs, axis=-1)[..., ::-1]          # descending
         csum = jnp.cumsum(sp, axis=-1)
-        # first index where the prefix reaches p (fp-safe for p ~ 1.0);
-        # that prob is the inclusion threshold — ties all stay in
-        cut = jnp.argmax(csum >= min(p, 1.0 - 1e-6), axis=-1)
+        # first index where the prefix reaches p; capping the target at the
+        # row's TOTAL mass keeps argmax well-defined when fp cumsum over a
+        # real vocab tops out below p (p=1.0 would otherwise collapse the
+        # nucleus to the argmax token). That prob is the inclusion
+        # threshold — ties all stay in.
+        target = jnp.minimum(p, csum[..., -1:])
+        cut = jnp.argmax(csum >= target, axis=-1)
         thresh = jnp.take_along_axis(sp, cut[:, None], axis=-1)
         masked = jnp.where(probs >= thresh, lg, _NEG_INF)
         return jax.random.categorical(rng, masked, axis=-1)
@@ -123,7 +128,7 @@ def encode_jit(params, state, mc: qg_model.ModelConfig, batch,
     return mem, dec_state
 
 
-@partial(jax.jit, static_argnames=("strategy", "max_len", "k", "p",
+@partial(jax.jit, static_argnames=("strategy", "max_len", "k",
                                    "use_pallas", "dec_kind", "dtype"))
 def decode_from_memories(
     params: Dict,
@@ -201,7 +206,7 @@ def decode_batch(
                                 dec_kind=mc.decoder, dtype=dtype)
 
 
-@partial(jax.jit, static_argnames=("mc", "strategy", "max_len", "k", "p",
+@partial(jax.jit, static_argnames=("mc", "strategy", "max_len", "k",
                                    "use_pallas", "audio_cap", "frames_cap"))
 def decode_batch_fused(
     params: Dict,

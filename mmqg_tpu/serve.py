@@ -43,8 +43,13 @@ def _load_media(req: dict, sample_rate: int):
 
 
 def serve(pipe, *, strategy: str, max_batch: int, linger_ms: float,
+          topk: int = 1, top_p: float = 0.9, seed: int = 0,
           inp=None, out=None) -> int:
-    """Run the serve loop until EOF on ``inp``; returns requests served."""
+    """Run the serve loop until EOF on ``inp``; returns requests served.
+
+    Sampling strategies draw from a per-BATCH stream (seed + batch index),
+    so identical requests in different batches get independent draws."""
+    n_batches = 0
     inp = inp if inp is not None else sys.stdin
     out = out if out is not None else sys.stdout
     # bounded: a producer faster than the device back-pressures on stdin
@@ -135,7 +140,10 @@ def serve(pipe, *, strategy: str, max_batch: int, linger_ms: float,
                 # async dispatch: the device decodes THIS batch while the
                 # loop goes back to gathering/packing the next one
                 finalize = pipe.generate_async(contexts, frames, audio,
-                                               strategy=strategy)
+                                               strategy=strategy, topk=topk,
+                                               top_p=top_p,
+                                               seed=seed + n_batches)
+                n_batches += 1
             except Exception:
                 # a request that loaded fine can still break batch packing
                 # (e.g. wrong frame geometry); degrade to per-request calls
@@ -147,7 +155,8 @@ def serve(pipe, *, strategy: str, max_batch: int, linger_ms: float,
                         try:
                             qs.append(pipe.generate(
                                 [ctx], [frames[j]], [audio[j]],
-                                strategy=strategy)[0])
+                                strategy=strategy, topk=topk, top_p=top_p,
+                                seed=seed + n_batches + j)[0])
                         except Exception as e:
                             infl_errs.append((ids[j], str(e)))
                             qs.append(None)  # placeholder keeps id alignment
@@ -185,6 +194,12 @@ def main(argv=None) -> None:
                         choices=["text", "text_video", "trimodal"])
     parser.add_argument("--decoder", type=str, default="attn",
                         choices=["attn", "non_attn"])
+    parser.add_argument("--top-k", type=int, default=1,
+                        help="k for -s topk")
+    parser.add_argument("--top-p", type=float, default=0.9,
+                        help="nucleus mass for -s topp")
+    parser.add_argument("--seed", type=int, default=0,
+                        help="base PRNG seed for sampling strategies")
     parser.add_argument("--max-batch", type=int, default=32)
     parser.add_argument("--linger-ms", type=float, default=25.0)
     parser.add_argument("--data-parallel", action="store_true",
@@ -211,6 +226,7 @@ def main(argv=None) -> None:
     print(f"ready alias={alias} strategy={args.strategy} "
           f"max_batch={args.max_batch}", file=sys.stderr, flush=True)
     n = serve(pipe, strategy=args.strategy, max_batch=args.max_batch,
+              topk=args.top_k, top_p=args.top_p, seed=args.seed,
               linger_ms=args.linger_ms)
     print(f"served {n} requests", file=sys.stderr)
 

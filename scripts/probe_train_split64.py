@@ -12,7 +12,7 @@ import __graft_entry__ as entry_mod
 from mmqg_tpu import decode as DEC
 from mmqg_tpu.config import Config
 from mmqg_tpu.models import qg_model
-from mmqg_tpu.train import init_train_state, make_optimizer, make_train_step
+from mmqg_tpu.train import init_train_state, make_optimizer
 
 
 def timeit(fn, *args, n=6):
@@ -31,15 +31,12 @@ def main():
     # buffer reuse) does not fit 16 GB HBM at B=64 — the donated full train
     # step does (PERF.md training table), which is the point of donation
     for mode, B in (("text", 64), ("text_video", 64), ("trimodal", 32)):
-        mc0, params, state, arrays = entry_mod._flagship(batch=B,
-                                                         audio_seconds=32)
+        mc0, _, _, arrays = entry_mod._flagship(batch=B, audio_seconds=32)
         emb = np.zeros((mc0.n_vocab, mc0.word_emb_dim), np.float32)
         optimizer = make_optimizer(Config())
         arrays["target_len"] = np.maximum(arrays["target_len"], 1)
         dev = {k: jax.device_put(v) for k, v in arrays.items()}
-        av = mc0.av_max_length
-        need = min(DEC.audio_examples_needed(mc0, arrays["audio_len"]), av)
-        acap = DEC._bucket(max(1, need), av)
+        acap = DEC.audio_bucket(mc0, arrays["audio_len"])
         fcap = DEC.frames_bucket(mc0, arrays["frames_len"])
         mc = mc0._replace(mode=mode)
         print(f"mode={mode} B={B} acap={acap} fcap={fcap}", flush=True)

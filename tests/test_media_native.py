@@ -261,6 +261,7 @@ def test_native_salient_frames_property_random_spans(tmp_path):
             ref = S.extract_salient_frames_for_video(v, spans, (32, 32))
         finally:
             S._native_salient_frames = orig
+        assert len(nat) == len(ref) == len(spans)
         for i, (a, b) in enumerate(zip(nat, ref)):
             assert a.shape == b.shape, (
                 f"case {case} fps={fps} span {i} {spans[i]}: "

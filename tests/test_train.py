@@ -63,10 +63,6 @@ def test_text_non_trainable_freezes_embedding(tiny_config, tiny_corpus,
     tr.fit(epochs=1)
     table = np.asarray(tr.train_state["params"]["embedding"]["table"])
     np.testing.assert_array_equal(table, emb)
-    # everything else moved
-    other = [float(np.abs(np.asarray(l)).max()) for l in jax.tree.leaves(
-        jax.tree.map(lambda a: a, tr.train_state["params"]["decoder"]))]
-    assert any(o > 0 for o in other)
     fresh_dec = qg_model.init(jax.random.PRNGKey(0), mc, emb)[0]["decoder"]
     moved = jax.tree.leaves(jax.tree.map(
         lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
