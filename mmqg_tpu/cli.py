@@ -81,8 +81,16 @@ def train_main(argv: Optional[List[str]] = None) -> None:
     if args.data_parallel:
         if len(jax.devices()) > 1:
             from mmqg_tpu.parallel import make_mesh
-            mesh = make_mesh()  # all devices on the data axis
-            print(f"data-parallel over {len(jax.devices())} devices")
+            # config.mesh_shape=(1,1) means "auto": all devices on the data
+            # axis; anything else is an explicit (data, model) layout
+            if tuple(config.mesh_axis_names) != ("data", "model"):
+                raise SystemExit(
+                    "mesh_axis_names must stay ('data', 'model'): the "
+                    "sharding rules (parallel/mesh.py) name those axes")
+            shape = tuple(config.mesh_shape)
+            mesh = make_mesh(None if shape == (1, 1) else shape)
+            print(f"data-parallel over {len(jax.devices())} devices "
+                  f"(mesh {dict(zip(mesh.axis_names, mesh.devices.shape))})")
         else:
             print("warning: --data-parallel requested but only one device "
                   "is visible; training single-device")

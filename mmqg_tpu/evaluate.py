@@ -153,7 +153,12 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
     if args.data_parallel and len(jax.devices()) > 1:
         from jax.sharding import NamedSharding, PartitionSpec
         from mmqg_tpu.parallel import make_mesh, shard_params
-        mesh = make_mesh()  # all devices on the data axis
+        if tuple(config.mesh_axis_names) != ("data", "model"):
+            raise SystemExit(
+                "mesh_axis_names must stay ('data', 'model'): the sharding "
+                "rules (parallel/mesh.py) name those axes")
+        shape = tuple(config.mesh_shape)
+        mesh = make_mesh(None if shape == (1, 1) else shape)
         params = shard_params(params, mesh)
         # model_state (BN stats) replicates explicitly, mirroring
         # Trainer._place_on_mesh — without this GSPMD would have to infer

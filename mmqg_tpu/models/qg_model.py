@@ -39,7 +39,8 @@ class ModelConfig(NamedTuple):
     hidden_dim: int = 512
     text_layers: int = 3
     dec_layers: int = 3
-    dropout: float = 0.2
+    dropout: float = 0.2            # decoder LSTM dropout (dec_lstm_dropout)
+    text_dropout: float = 0.2       # text encoder LSTM dropout
     video_hidden_dim: int = 512
     audio_emb_dim: int = 128
     flatten_dim: int = 1000
@@ -54,6 +55,9 @@ class ModelConfig(NamedTuple):
     sample_rate: int = 16000
     stft_window: int = 400
     stft_hop: int = 160
+    mel_min_hz: float = 125.0
+    mel_max_hz: float = 7500.0
+    log_offset: float = 0.01
     normalize_video: bool = True
     vid_mean: Tuple[float, float, float] = (0.43216, 0.394666, 0.37645)
     vid_std: Tuple[float, float, float] = (0.22803, 0.22145, 0.216989)
@@ -69,6 +73,28 @@ class ModelConfig(NamedTuple):
     @classmethod
     def from_config(cls, config, n_vocab: int, mode: str = "trimodal",
                     dec: str = "attn"):
+        # knobs the architecture cannot vary get a LOUD error, not a silent
+        # ignore: the decoder's init state IS the text encoder's final state
+        # (reference train.py:169), so their hidden dims must match; the
+        # video conv pyramid is the fixed reference topology (3->4->6->8->10,
+        # k3 s1, model/encoder.py:37-50), which av_in_channels/kernel_sz/
+        # stride parameterised without the reference ever varying them.
+        if config.dec_lstm_hidden_dim != config.text_lstm_hidden_dim:
+            raise ValueError(
+                f"dec_lstm_hidden_dim ({config.dec_lstm_hidden_dim}) must "
+                f"equal text_lstm_hidden_dim ({config.text_lstm_hidden_dim}):"
+                " the decoder is initialised from the text encoder's final "
+                "state (reference train.py:169)")
+        if (config.av_in_channels, config.av_kernel_sz,
+                config.av_stride) != (3, 3, 1):
+            raise ValueError(
+                "av_in_channels/av_kernel_sz/av_stride must stay (3, 3, 1): "
+                "the video conv pyramid is the fixed reference topology "
+                "(model/encoder.py:37-50)")
+        if getattr(config, "param_dtype", "float32") != "float32":
+            raise ValueError(
+                "param_dtype: only float32 master params are supported "
+                "(activations run bf16 via the step dtype)")
         return cls(
             n_vocab=n_vocab,
             decoder=dec,
@@ -77,6 +103,7 @@ class ModelConfig(NamedTuple):
             text_layers=config.text_lstm_layers,
             dec_layers=config.dec_lstm_layers,
             dropout=config.dec_lstm_dropout,
+            text_dropout=config.text_lstm_dropout,
             video_hidden_dim=config.video_hidden_dim,
             audio_emb_dim=config.audio_emb,
             flatten_dim=config.flatten_dim,
@@ -90,6 +117,9 @@ class ModelConfig(NamedTuple):
             sample_rate=config.audio_sample_rate,
             stft_window=config.stft_window,
             stft_hop=config.stft_hop,
+            mel_min_hz=config.mel_min_hz,
+            mel_max_hz=config.mel_max_hz,
+            log_offset=config.log_offset,
             vid_mean=tuple(config.vid_mean),
             vid_std=tuple(config.vid_std),
             audio_int8_serving=getattr(config, "audio_int8_serving", True),
@@ -164,7 +194,7 @@ def encode(
     emb_table = params["embedding"]["table"]
     enc_text, text_state = text_encoder.apply(
         params["text_enc"], emb_table, batch["context_ids"],
-        batch["context_len"], train=train, dropout=mc.dropout,
+        batch["context_len"], train=train, dropout=mc.text_dropout,
         dropout_rng=dropout_rng, use_pallas=use_pallas, dtype=dtype)
 
     new_state = dict(state)
@@ -209,7 +239,9 @@ def encode(
         mel = frontends.log_mel_examples(
             batch["audio_pcm"], sample_rate=mc.sample_rate,
             window=mc.stft_window, hop=mc.stft_hop,
-            mel_bins=mc.mel_bins, frames_per_example=mc.mel_frames,
+            mel_bins=mc.mel_bins, lower_hz=mc.mel_min_hz,
+            upper_hz=mc.mel_max_hz, log_offset=mc.log_offset,
+            frames_per_example=mc.mel_frames,
             max_examples=cap, dtype=dtype)
         # reference masked the audio head by the *frame* count
         # (model/decoder.py:93 used enc_frames); we mask by the true audio

@@ -217,7 +217,8 @@ def main(argv=None) -> None:
     if args.data_parallel:
         import jax
         if len(jax.devices()) > 1:
-            pipe = pipe.shard()
+            shape = tuple(config.mesh_shape)
+            pipe = pipe.shard(shape=None if shape == (1, 1) else shape)
             print(f"serving data-parallel over {len(jax.devices())} devices",
                   file=sys.stderr)
         else:

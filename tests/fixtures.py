@@ -93,7 +93,7 @@ def single_step_setup(config, *, mode="text", optim=None, dropout=None,
     mc = qg_model.ModelConfig.from_config(config, n_vocab=len(ds.vocab),
                                           mode=mode)
     if dropout is not None:
-        mc = mc._replace(dropout=dropout)
+        mc = mc._replace(dropout=dropout, text_dropout=dropout)
     if optim is not None:
         config = config.replace(optim=optim)
     optimizer = make_optimizer(config)

@@ -42,3 +42,31 @@ def test_derived_paths_follow_roots(tmp_path):
     assert c.salient_frames_path == tmp_path / "ds" / "salient_frames"
     assert c.vocab_file == tmp_path / "d" / "vocab.json"
     assert c.dec_input_dim == 300 + 512 + 128 + 512  # reference decoder.py:69
+
+
+def test_model_config_honours_every_declared_knob(tiny_config):
+    """Config knobs must never be silently ignored (the reference declared
+    text_non_trainable and av_* and ignored them; we either honour or
+    loudly reject). mel band / log offset / per-module dropout thread into
+    ModelConfig; architecturally-fixed knobs raise when varied."""
+    import pytest
+
+    from mmqg_tpu.models import qg_model
+
+    cfg = tiny_config.replace(mel_min_hz=80.0, mel_max_hz=6000.0,
+                              log_offset=0.02, text_lstm_dropout=0.35)
+    mc = qg_model.ModelConfig.from_config(cfg, n_vocab=30)
+    assert (mc.mel_min_hz, mc.mel_max_hz) == (80.0, 6000.0)
+    assert mc.log_offset == 0.02
+    assert mc.text_dropout == 0.35
+    assert mc.dropout == cfg.dec_lstm_dropout
+
+    with pytest.raises(ValueError, match="dec_lstm_hidden_dim"):
+        qg_model.ModelConfig.from_config(
+            tiny_config.replace(dec_lstm_hidden_dim=32), n_vocab=30)
+    with pytest.raises(ValueError, match="av_in_channels"):
+        qg_model.ModelConfig.from_config(
+            tiny_config.replace(av_kernel_sz=5), n_vocab=30)
+    with pytest.raises(ValueError, match="param_dtype"):
+        qg_model.ModelConfig.from_config(
+            tiny_config.replace(param_dtype="bfloat16"), n_vocab=30)

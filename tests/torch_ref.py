@@ -158,7 +158,8 @@ def build_composed(d: Dims, seed: int = 0):
 
     mc = qg_model.ModelConfig(
         n_vocab=d.V, word_emb_dim=d.EMB, hidden_dim=d.H, text_layers=d.NL,
-        dec_layers=d.NL, dropout=0.0, video_hidden_dim=d.HV,
+        dec_layers=d.NL, dropout=0.0, text_dropout=0.0,
+        video_hidden_dim=d.HV,
         audio_emb_dim=d.HA, flatten_dim=d.FLAT, context_max_length=d.CTX_MAX,
         av_max_length=d.AV_MAX, target_steps=d.TGT + 1, mode="trimodal",
         frame_size=d.FRAME, mel_frames=d.MEL_F, mel_bins=d.MEL_B,
