@@ -113,6 +113,11 @@ def prepare_main(argv: Optional[List[str]] = None) -> None:
     parser.add_argument("-c", "--config_path", type=str, default=None)
     parser.add_argument("--stages", type=str, default="saliency,glove,text,data",
                         help="comma list of: saliency, glove, text, data")
+    parser.add_argument("--workers", type=int, default=None,
+                        help="video-decode thread pool size for the "
+                             "saliency stage (default: host cores; decode "
+                             "is per-video independent and releases the "
+                             "GIL)")
     args = parser.parse_args(argv)
 
     config = (Config.load(args.config_path) if args.config_path else Config())
@@ -127,7 +132,7 @@ def prepare_main(argv: Optional[List[str]] = None) -> None:
 
     if "saliency" in stages:
         from mmqg_tpu.data.saliency import run_prep_pipeline
-        stats = run_prep_pipeline(config)
+        stats = run_prep_pipeline(config, workers=args.workers)
         print(f"saliency: {stats}")
 
     if "glove" in stages:

@@ -307,7 +307,7 @@ def clip_salient_audio(config, questions: List[Dict]) -> int:
     return n
 
 
-def run_prep_pipeline(config) -> Dict[str, int]:
+def run_prep_pipeline(config, workers: Optional[int] = None) -> Dict[str, int]:
     """End-to-end offline prep (reference dataset/README order:
     assign ids -> audio -> clips -> frames -> text). The audio stage runs
     for every question video whose wav is missing but whose mp4 exists
@@ -351,7 +351,7 @@ def run_prep_pipeline(config) -> Dict[str, int]:
             stats["audio"] = sum(pool.map(_audio_one, pending))
     else:
         stats["audio"] = sum(_audio_one(v) for v in pending)
-    stats["frames"] = save_salient_frames(config, questions)
+    stats["frames"] = save_salient_frames(config, questions, workers=workers)
     stats["clips"] = clip_salient_audio(config, questions)
     texts = build_salient_text_list(questions, config.subs_path)
     Path(config.salient_text_file).parent.mkdir(parents=True, exist_ok=True)

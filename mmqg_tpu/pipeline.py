@@ -285,50 +285,68 @@ class QGPipeline:
                             for a, b in spans_s]
         contexts = [preprocess_text(c) or "" for c in contexts]
 
-        # ---- audio: slice each span from the video's audio track
         audio: Optional[List[Optional[np.ndarray]]] = None
-        no_audio_stream = False
-        if audio_path is None and self.mc.mode == "trimodal":
-            import shutil
+        if audio_path is not None:
+            # caller staged the video's wav (reference get_audio.py layout)
+            pcm = wavio.load_mono_16k(audio_path,
+                                      target_rate=self.mc.sample_rate)
+            audio = [wavio.clip_span(pcm, self.mc.sample_rate, a, b)
+                     for a, b in spans_s]
+        else:
+            audio = self._span_audio(video_path, spans_s)
 
-            from mmqg_tpu.data import native
+        return self.generate(contexts, frames, audio, strategy=strategy,
+                             beam_size=beam_size, topk=topk, top_p=top_p,
+                             seed=seed)
 
-            if native.media_available():
-                # in-process demux (native/mmqg_media.cpp): seek-decode ONLY
-                # each span at the model rate — no temp wav, no subprocess,
-                # no full-track decode
-                try:
-                    decoded = [native.decode_audio(video_path,
-                                                   self.mc.sample_rate,
-                                                   start=a, end=b)
-                               for a, b in spans_s]
-                    if all(d is not None for d in decoded):
-                        audio = decoded
-                    # else: this libav build can't decode the file — fall
-                    # through to the ffmpeg binary below rather than
-                    # silently serving without audio
-                except ValueError:  # video HAS no audio stream: ffmpeg
-                    no_audio_stream = True  # can't invent one either
-            if (audio is None and not no_audio_stream
-                    and shutil.which("ffmpeg")):
-                import subprocess, tempfile
-                tmp = tempfile.NamedTemporaryFile(suffix=".wav", delete=False)
-                tmp.close()
+    def _span_audio(self, video_path, spans_s):
+        """Each span's PCM straight from the video's audio track, or None
+        (non-trimodal, no decoder, no audio stream). Native seek-decode
+        first (only the spans decode); the ffmpeg binary as the per-file
+        fallback; a file with no audio stream yields None without touching
+        ffmpeg. Shared by generate_from_video and the serve daemon's raw
+        video request form."""
+        if self.mc.mode != "trimodal":
+            return None
+        import shutil
+
+        from mmqg_tpu.data import native
+        from mmqg_tpu.data import wav as wavio
+
+        if native.media_available():
+            # in-process demux (native/mmqg_media.cpp): seek-decode ONLY
+            # each span at the model rate — no temp wav, no subprocess,
+            # no full-track decode
+            try:
+                decoded = [native.decode_audio(video_path,
+                                               self.mc.sample_rate,
+                                               start=a, end=b)
+                           for a, b in spans_s]
+                if all(d is not None for d in decoded):
+                    return decoded
+                # else: this libav build can't decode the file — fall
+                # through to the ffmpeg binary rather than silently
+                # serving without audio
+            except ValueError:     # video HAS no audio stream:
+                return None        # ffmpeg can't invent one either
+        if shutil.which("ffmpeg"):
+            import subprocess, tempfile
+            tmp = tempfile.NamedTemporaryFile(suffix=".wav", delete=False)
+            tmp.close()
+            import os
+            try:
                 subprocess.run(
                     ["ffmpeg", "-hide_banner", "-loglevel", "panic", "-y",
                      "-i", str(video_path), "-ac", "1",
                      "-ar", str(self.mc.sample_rate), "-vn", tmp.name],
                     check=True)
-                audio_path = tmp.name
-        if audio is None and audio_path is not None:
-            pcm = wavio.load_mono_16k(audio_path,
-                                      target_rate=self.mc.sample_rate)
-            audio = [wavio.clip_span(pcm, self.mc.sample_rate, a, b)
-                     for a, b in spans_s]
-
-        return self.generate(contexts, frames, audio, strategy=strategy,
-                             beam_size=beam_size, topk=topk, top_p=top_p,
-                             seed=seed)
+                pcm = wavio.load_mono_16k(tmp.name,
+                                          target_rate=self.mc.sample_rate)
+            finally:
+                os.unlink(tmp.name)
+            return [wavio.clip_span(pcm, self.mc.sample_rate, a, b)
+                    for a, b in spans_s]
+        return None
 
     def _shard_request(self, batch: Dict) -> Dict:
         """Pad the request to a data-axis multiple (padded rows are trimmed

@@ -8,8 +8,13 @@ request waits at most ``--linger-ms`` for companions, then the whole bucket
 decodes as ONE fixed-shape TPU batch (the jit programs are shared with the
 evaluate CLI, so the first request pays the compile and the rest are hot).
 
-Request:  {"id": <any>, "context": "...", "frames_npy": "path.npy"?,
+Request (staged media):
+          {"id": <any>, "context": "...", "frames_npy": "path.npy"?,
            "audio_wav": "path.wav"?}
+Request (raw video — the full north-star path, one span per request;
+          frames AND audio are seek-decoded in-process from the span only):
+          {"id": <any>, "video": "lecture.mp4", "span": ["0:45", "1:10"],
+           "subtitles": "lecture.srt"?, "context": "..."?}
 Response: {"id": <any>, "question": "...", "batch_size": N,
            "latency_ms": F}   (or {"id", "error"} per bad request)
 
@@ -31,15 +36,42 @@ from typing import List, Optional
 import numpy as np
 
 
-def _load_media(req: dict, sample_rate: int):
+def _load_media(req: dict, pipe):
+    """Resolve one request to (context, frames, audio) host-side.
+
+    The raw-video form runs the same prep as QGPipeline.generate_from_video
+    (salient-frame seek-decode, span audio via pipe._span_audio, subtitle
+    context extraction) for a single span."""
+    mc = pipe.mc
+    context = req.get("context", "")
     frames = audio = None
+    if req.get("video"):
+        from mmqg_tpu.data import saliency
+        from mmqg_tpu.data.subtitles import (extract_context,
+                                             parse_subtitle_file,
+                                             span_seconds)
+        from mmqg_tpu.data.text_prep import preprocess_text
+
+        def _sec(v):
+            return float(span_seconds(v)) if isinstance(v, str) else float(v)
+
+        a, b = (_sec(v) for v in req["span"])
+        frames = saliency.extract_salient_frames_for_video(
+            req["video"], [(int(a * 1000), int(b * 1000))],
+            frame_dim=(mc.frame_size, mc.frame_size))[0]
+        if not context and req.get("subtitles"):
+            caps = parse_subtitle_file(req["subtitles"])
+            context = extract_context(caps, a, b) or ""
+        context = preprocess_text(context) or ""
+        spans_audio = pipe._span_audio(req["video"], [(a, b)])
+        audio = spans_audio[0] if spans_audio else None
     if req.get("frames_npy"):
         frames = np.load(req["frames_npy"])
     if req.get("audio_wav"):
         from mmqg_tpu.data import wav as wavio
         audio = wavio.load_mono_16k(req["audio_wav"],
-                                    target_rate=sample_rate)
-    return frames, audio
+                                    target_rate=mc.sample_rate)
+    return context, frames, audio
 
 
 def serve(pipe, *, strategy: str, max_batch: int, linger_ms: float,
@@ -125,8 +157,8 @@ def serve(pipe, *, strategy: str, max_batch: int, linger_ms: float,
             try:
                 if "_parse_error" in req:
                     raise ValueError(req["_parse_error"])
-                f, a = _load_media(req, pipe.mc.sample_rate)
-                contexts.append(req.get("context", ""))
+                c, f, a = _load_media(req, pipe)
+                contexts.append(c)
                 frames.append(f)
                 audio.append(a)
                 ids.append(req.get("id"))

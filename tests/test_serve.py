@@ -104,3 +104,38 @@ def test_serve_poisoned_batch_isolates_request(served_pipe, tmp_path):
              (json.loads(l) for l in out.getvalue().splitlines())}
     assert "question" in by_id["good"]
     assert "error" in by_id["poison"]
+
+
+def test_serve_raw_video_request(served_pipe, tmp_path):
+    """The daemon's raw-video request form: one mp4 carrying both streams,
+    span + subtitles in the request — frames, audio, and context all resolve
+    host-side through the generate_from_video prep path, then join a normal
+    micro-batch with a staged-media request."""
+    from mmqg_tpu.data import native
+
+    pytest.importorskip("cv2")
+    if not native.media_available():
+        pytest.skip("native media lib unavailable")
+    pipe, cfg = served_pipe
+    video = tmp_path / "lec.mp4"
+    if not native.write_test_av_mp4(video, seconds=6.0, freq=440, fps=10):
+        pytest.skip("AAC/MPEG-4 encoders not built into system libavcodec")
+    subs = tmp_path / "lec.srt"
+    subs.write_text(
+        "1\n00:00:00,000 --> 00:00:06,000\nthe process of the system\n\n")
+
+    reqs = [
+        {"id": "vid", "video": str(video), "span": ["0:01", "0:04"],
+         "subtitles": str(subs)},
+        {"id": "txt", "context": "the value of the function"},
+    ]
+    inp = io.StringIO("\n".join(json.dumps(r) for r in reqs) + "\n")
+    out = io.StringIO()
+    n = serve(pipe, strategy="greedy", max_batch=8, linger_ms=200,
+              inp=inp, out=out)
+    assert n == 2
+    by_id = {r["id"]: r for r in
+             (json.loads(l) for l in out.getvalue().splitlines())}
+    assert isinstance(by_id["vid"]["question"], str)
+    assert by_id["vid"]["batch_size"] == 2   # both forms share one batch
+    assert isinstance(by_id["txt"]["question"], str)
