@@ -51,13 +51,35 @@ def train_main(argv: Optional[List[str]] = None) -> None:
     parser.add_argument("--nan-debug", action="store_true",
                         help="sanitizer: re-run any jit producing NaNs "
                              "op-by-op and raise at the offending primitive")
+    parser.add_argument("--compile-cache", type=str, default=None,
+                        help="persistent XLA compilation-cache directory "
+                             "(also config compilation_cache_dir or "
+                             "MMQG_COMPILE_CACHE); compiles each train-step "
+                             "bucket variant once per machine, not per run")
+    parser.add_argument("--multihost", action="store_true",
+                        help="join a multi-process runtime "
+                             "(jax.distributed): run one process per host, "
+                             "combine with --data-parallel for DP over DCN; "
+                             "process 0 owns checkpoints/stats")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="coordinator host:port for --multihost (omit "
+                             "on TPU pods: auto-detected)")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     args = parser.parse_args(argv)
+
+    if args.multihost:
+        from mmqg_tpu.parallel.multihost import initialize_multihost
+        initialize_multihost(args.coordinator, args.num_processes,
+                             args.process_id)
 
     from mmqg_tpu.data.dataset import QGDataset
     from mmqg_tpu.models import qg_model
     from mmqg_tpu.train import Trainer
+    from mmqg_tpu.utils.compilation_cache import maybe_enable_from
 
     config = (Config.load(args.config_path) if args.config_path else Config())
+    maybe_enable_from(args.compile_cache, config)
     if args.grad_accum:
         config = config.replace(grad_accum_steps=args.grad_accum)
     config.ensure_dirs()

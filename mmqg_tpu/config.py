@@ -103,6 +103,8 @@ class Config:
     #   Measured A/B (scripts/bench_train_buckets.py, PERF.md): eighths are 8%
     #   faster steady-state but double compile count; break-even ~10k steps —
     #   set 4 for short cold-cache runs.
+    compilation_cache_dir: str = ""  # persistent XLA compile cache; "" = off
+    #   (utils/compilation_cache.py; also --compile-cache / MMQG_COMPILE_CACHE)
     beam_size: int = 4
     # audio frontend (VGGish-compatible framing)
     audio_sample_rate: int = 16000

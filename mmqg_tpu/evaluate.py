@@ -123,9 +123,15 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
                         help="stream test batches from disk (double-buffered "
                              "pack pool) instead of materialising the split "
                              "in host RAM")
+    parser.add_argument("--compile-cache", type=str, default=None,
+                        help="persistent XLA compilation-cache directory "
+                             "(also config compilation_cache_dir or "
+                             "MMQG_COMPILE_CACHE)")
     args = parser.parse_args(argv)
 
     config = Config.load(args.config_path)
+    from mmqg_tpu.utils.compilation_cache import maybe_enable_from
+    maybe_enable_from(args.compile_cache, config)
     alias = "last" if args.last else "best"
 
     if args.streaming:

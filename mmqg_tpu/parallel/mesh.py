@@ -122,7 +122,13 @@ def pad_and_shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     Padded rows get ``valid=False`` and length-1 sequence fields; callers
     trim the extra output rows (decode output order is row-stable). Compute
     AV buckets (decode.audio_bucket/frames_bucket) from the HOST arrays
-    BEFORE calling this — afterwards they cost a device sync."""
+    BEFORE calling this — afterwards they cost a device sync.
+
+    Multi-process runtimes (parallel/multihost.py) route through
+    ``assemble_global_batch`` — identical single-process, cross-host
+    assembly when the mesh spans processes."""
+    from mmqg_tpu.parallel.multihost import assemble_global_batch
+
     dp = mesh.devices.shape[0]
     n = len(batch["valid"])
     pad = (-n) % dp
@@ -134,7 +140,7 @@ def pad_and_shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
         for key in ("frames_len", "target_len", "context_len"):
             if key in batch:
                 batch[key][n:] = 1
-    return shard_batch(batch, mesh)
+    return assemble_global_batch(batch, mesh)
 
 
 # ------------------------------------------------------- sequence parallelism

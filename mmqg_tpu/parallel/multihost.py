@@ -1,0 +1,178 @@
+"""Multi-process (multi-host) execution: data parallelism across hosts/slices.
+
+SURVEY.md §5 "Distributed communication backend": within a slice the GSPMD
+collectives ride ICI; *across* hosts or slices they ride DCN. JAX's runtime
+covers that second leg with ``jax.distributed`` — every process calls
+``initialize_multihost`` with the same coordinator, the global device list
+then spans all processes, and the exact same ``make_mesh``/``shard_params``
+rules (parallel/mesh.py) produce a cross-host mesh. No NCCL/MPI analogue is
+written by hand (reference has none either — SURVEY §2 C28): XLA emits the
+collectives; on CPU they run over gloo (TCP), which is also how this module
+is CI-tested without hardware (tests/test_multihost.py spawns real
+processes).
+
+The one genuinely new concern vs single-process meshes is ARRAY ASSEMBLY:
+a process can only device_put onto its own (addressable) devices, so global
+batches must be built from per-process shards —
+``assemble_global_batch`` below wraps
+``jax.make_array_from_process_local_data``. Conversely, reading a
+batch-sharded global array back needs an all-gather across processes
+(``to_host``).
+
+Scope (documented contract): cross-host DATA parallelism — params/opt-state
+replicated across hosts, batch rows sharded. Tensor-parallel axes stay
+*within* a host's addressable devices (exactly how real TPU pods are laid
+out: TP over ICI inside a slice, DP over DCN between slices). Checkpoint
+writes happen on process 0 only (shared-filesystem assumption, standard for
+TPU pods).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None,
+                         *,
+                         virtual_cpu_devices_per_process: Optional[int] = None
+                         ) -> None:
+    """Join this process to a multi-process JAX runtime.
+
+    Must run before jax initialises its backends. On real TPU pods all three
+    arguments may stay None — jax auto-detects them from the pod metadata /
+    scheduler environment; for hardware-free CI pass
+    ``virtual_cpu_devices_per_process`` to give every process N virtual CPU
+    devices (the multi-host analogue of bootstrap.force_virtual_cpu_devices).
+    """
+    if virtual_cpu_devices_per_process:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            flags = (flags + " --xla_force_host_platform_device_count="
+                     f"{virtual_cpu_devices_per_process}").strip()
+        os.environ["XLA_FLAGS"] = flags
+
+    import jax
+
+    if virtual_cpu_devices_per_process:
+        jax.config.update("jax_platforms", "cpu")  # axon sitecustomize wins
+        # over the env var otherwise (parallel/bootstrap.py trap #2)
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def is_primary() -> bool:
+    """True on the process that owns filesystem side effects (checkpoints,
+    stats.json); trivially True single-process."""
+    import jax
+    return jax.process_index() == 0
+
+
+def _local_row_block(sharding, global_rows: int):
+    """[start, stop) of the global batch rows this process's devices own
+    under ``sharding`` (leading dim sharded over 'data'). Data-parallel
+    row blocks are contiguous per process because the default device order
+    is process-major."""
+    idx_map = sharding.addressable_devices_indices_map((global_rows,))
+    # distinct row slices (tensor-parallel devices replicate a row block, so
+    # several devices may own the same slice)
+    blocks = sorted({(s[0].start or 0,
+                      s[0].stop if s[0].stop is not None else global_rows)
+                     for s in idx_map.values()})
+    start, stop = blocks[0][0], blocks[-1][1]
+    prev = start
+    for s, e in blocks:
+        if s != prev:
+            raise ValueError(
+                "process-local batch rows are not one contiguous block; use "
+                "a process-major data axis (default device order)")
+        prev = e
+    return start, stop
+
+
+def assemble_global_batch(batch: Dict[str, Any], mesh) -> Dict[str, Any]:
+    """Multi-process replacement for ``shard_batch``: every process passes
+    the SAME full host batch (deterministic loader order); each contributes
+    only its own row block and the result is one global jax.Array per field.
+
+    Single-process it defers to plain ``shard_batch`` (identical layout), so
+    callers can use it unconditionally.
+    """
+    import jax
+    from mmqg_tpu.parallel.mesh import batch_sharding, shard_batch
+
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh)
+    sb = batch_sharding(mesh)
+    out = {}
+    for k, v in batch.items():
+        if not hasattr(v, "ndim"):
+            continue
+        sharding = sb(v)
+        if v.ndim == 0:
+            out[k] = jax.make_array_from_process_local_data(sharding, v)
+            continue
+        start, stop = _local_row_block(sharding, v.shape[0])
+        out[k] = jax.make_array_from_process_local_data(
+            sharding, np.ascontiguousarray(v[start:stop]), v.shape)
+    return out
+
+
+def shard_params_global(params, mesh):
+    """Cross-process ``shard_params``: place a host-resident param/opt pytree
+    onto a mesh that spans processes.
+
+    Works for the documented multihost scope — leaves replicated over the
+    (cross-host) data axis, TP shards contained within each host's devices —
+    where every process's addressable view of a leaf is the FULL array, so
+    each process contributes its whole host copy and the runtime keeps the
+    shards it owns."""
+    import jax
+    from mmqg_tpu.parallel.mesh import param_shardings, shard_params
+
+    if jax.process_count() == 1:
+        return shard_params(params, mesh)
+    shardings = param_shardings(params, mesh)
+
+    def put(x, s):
+        if not hasattr(x, "ndim"):
+            return x
+        return jax.make_array_from_process_local_data(s, np.asarray(x),
+                                                      np.shape(x))
+
+    return jax.tree.map(
+        put, params, shardings,
+        is_leaf=lambda x: hasattr(x, "ndim")
+        or not isinstance(x, (dict, list, tuple)))
+
+
+def replicate_global(tree, mesh):
+    """Place a pytree fully replicated on a (possibly cross-process) mesh."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    repl = NamedSharding(mesh, PartitionSpec())
+    if jax.process_count() == 1:
+        return jax.device_put(tree, repl)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            repl, np.asarray(x), np.shape(x)) if hasattr(x, "ndim") else x,
+        tree)
+
+
+def to_host(x) -> np.ndarray:
+    """Materialise a (possibly cross-process-sharded) array on every host.
+
+    Fully-addressable arrays (replicated params, scalar metrics, anything
+    single-process) take the plain ``np.asarray`` path; batch-sharded global
+    arrays all-gather over the runtime (DCN/gloo)."""
+    if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)

@@ -237,12 +237,19 @@ def main(argv=None) -> None:
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard serving over all devices (QGPipeline."
                              "shard); each chip decodes its slice")
+    parser.add_argument("--compile-cache", type=str, default=None,
+                        help="persistent XLA compilation-cache directory "
+                             "(also config compilation_cache_dir or "
+                             "MMQG_COMPILE_CACHE); a restarted daemon skips "
+                             "recompiling its decode-bucket programs")
     args = parser.parse_args(argv)
 
     from mmqg_tpu.config import Config
     from mmqg_tpu.pipeline import QGPipeline
+    from mmqg_tpu.utils.compilation_cache import maybe_enable_from
 
     config = Config.load(args.config_path)
+    maybe_enable_from(args.compile_cache, config)
     alias = "last" if args.last and not args.best else "best"
     pipe = QGPipeline.from_checkpoint(config, alias=alias, mode=args.mode,
                                       decoder=args.decoder)

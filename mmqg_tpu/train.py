@@ -19,6 +19,8 @@ steps). Differences, all deliberate and documented:
 from __future__ import annotations
 
 import json
+import signal
+import threading
 import time
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
@@ -333,16 +335,20 @@ class Trainer:
         """Shard the train state over ``self.mesh`` (SURVEY.md §2 C26-C28):
         params/opt_state per the TP rules (pure-DP meshes replicate them),
         model_state and step replicated. Batches shard batch-over-data in
-        ``run_epoch``/``validate``; XLA/GSPMD emits the grad psum over ICI."""
-        from jax.sharding import NamedSharding, PartitionSpec
-        from mmqg_tpu.parallel import shard_params
+        ``run_epoch``/``validate``; XLA/GSPMD emits the grad psum over ICI.
+        The ``_global`` placement helpers are identical single-process and
+        assemble from per-process copies when the mesh spans hosts
+        (parallel/multihost.py)."""
+        from mmqg_tpu.parallel.multihost import (replicate_global,
+                                                 shard_params_global)
 
-        repl = NamedSharding(self.mesh, PartitionSpec())
         return {
-            "params": shard_params(train_state["params"], self.mesh),
-            "model_state": jax.device_put(train_state["model_state"], repl),
-            "opt_state": shard_params(train_state["opt_state"], self.mesh),
-            "step": jax.device_put(train_state["step"], repl),
+            "params": shard_params_global(train_state["params"], self.mesh),
+            "model_state": replicate_global(train_state["model_state"],
+                                            self.mesh),
+            "opt_state": shard_params_global(train_state["opt_state"],
+                                             self.mesh),
+            "step": replicate_global(train_state["step"], self.mesh),
         }
 
     # ------------------------------------------------------------- epochs
@@ -415,9 +421,12 @@ class Trainer:
             per_sample, toks = self.validate_step(
                 self.train_state["params"], self.train_state["model_state"],
                 arrays)
-            # trim mesh-padding rows (output row order is stable)
-            per_sample = np.asarray(per_sample)[:len(batch.valid)]
-            toks = np.asarray(toks)[:len(batch.valid)]
+            # trim mesh-padding rows (output row order is stable); to_host
+            # all-gathers across processes when the mesh spans hosts and is
+            # a plain np.asarray otherwise
+            from mmqg_tpu.parallel.multihost import to_host
+            per_sample = to_host(per_sample)[:len(batch.valid)]
+            toks = to_host(toks)[:len(batch.valid)]
             loss_sum += float(per_sample[batch.valid].sum())
             suite, k = evaluate_bleu(toks, batch.questions,
                                      self.val_ds.index_to_word, batch.valid)
@@ -433,8 +442,22 @@ class Trainer:
         checkpoints "last" before propagating, so ``resume('last')`` restarts
         from the latest completed epoch (the reference lost everything on
         interrupt — its only resilience was try/except around saves,
-        reference train.py:34-47)."""
+        reference train.py:34-47).
+
+        SIGTERM — how preemptible TPU VMs and cluster schedulers announce
+        eviction — is converted into the same save-then-propagate path while
+        fit() runs (main thread only; Python restricts signal handlers to
+        it), so a preempted job resumes instead of losing its run."""
         epochs = epochs or self.config.epochs
+        prev_handler, installed = None, False
+        if threading.current_thread() is threading.main_thread():
+            def _on_term(signum, frame):
+                raise KeyboardInterrupt("SIGTERM (preemption)")
+            try:
+                prev_handler = signal.signal(signal.SIGTERM, _on_term)
+                installed = True
+            except ValueError:
+                pass
         try:
             return self._fit_inner(epochs)
         except BaseException:
@@ -446,6 +469,8 @@ class Trainer:
                 self.write_stats()
             raise
         finally:
+            if installed:
+                signal.signal(signal.SIGTERM, prev_handler)
             ckpt.wait_for_pending()  # async saves must land before return
 
     def _fit_inner(self, epochs: int) -> Tuple[Dict, int]:
@@ -465,7 +490,8 @@ class Trainer:
                 self.best_val = val["loss"]
                 self.best_epoch = epoch
             self.save("last", epoch)
-            if improved:
+            from mmqg_tpu.parallel.multihost import is_primary
+            if improved and is_primary():
                 # "best" == this "last": copy the published file instead of
                 # gathering + serialising the identical state a second time
                 ckpt.copy_checkpoint(
@@ -483,6 +509,9 @@ class Trainer:
 
     # -------------------------------------------------------- persistence
     def save(self, alias: str, epoch: int) -> None:
+        from mmqg_tpu.parallel.multihost import is_primary
+        if not is_primary():
+            return  # multi-host: process 0 owns the (shared) filesystem
         ckpt.save_checkpoint(
             self.config.checkpoint_dir, alias, self.train_state,
             metadata={"epoch": epoch, "best_val": self.best_val,
@@ -518,6 +547,9 @@ class Trainer:
     def write_stats(self) -> None:
         """stats.json parity (reference train.py:279-285) + config snapshot
         (reference train.py:287-290)."""
+        from mmqg_tpu.parallel.multihost import is_primary
+        if not is_primary():
+            return
         self.config.ensure_dirs()
         with open(self.config.stats_json_path, "w") as f:
             json.dump(self.epoch_stats, f)

@@ -1,0 +1,109 @@
+"""Child process of tests/test_multihost.py.
+
+Joins a REAL multi-process JAX runtime (gloo CPU collectives — the CI
+stand-in for DCN between TPU hosts/slices, SURVEY.md §5 "Distributed
+communication backend"), then checks that training math on a mesh spanning
+both processes matches locally-computed single-device math:
+
+* loss and global gradient norm (f32) of the text QG model on the
+  cross-process (data, model) mesh vs. one local device — a missing or
+  double-counted cross-process psum shifts the gradient norm O(1);
+* one full donated train step (make_train_step) executes on the mesh and
+  yields a finite, process-consistent loss;
+* batch assembly goes through the production path
+  (pad_and_shard_batch -> assemble_global_batch), each process
+  contributing only its own row block.
+
+Prints MULTIHOST_OK on success; any assertion/exception exits nonzero.
+"""
+
+import sys
+
+
+def main() -> int:
+    coordinator, nprocs, pid, config_path = (
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    from mmqg_tpu.parallel.multihost import initialize_multihost
+    initialize_multihost(coordinator, nprocs, pid,
+                         virtual_cpu_devices_per_process=4)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    assert jax.process_count() == nprocs, jax.process_count()
+    assert jax.device_count() == 4 * nprocs, jax.device_count()
+    assert len(jax.local_devices()) == 4
+
+    from mmqg_tpu.config import Config
+    from mmqg_tpu.data.dataset import QGDataset
+    from mmqg_tpu.models import qg_model
+    from mmqg_tpu.parallel import make_mesh, pad_and_shard_batch
+    from mmqg_tpu.parallel.multihost import (is_primary, replicate_global,
+                                             shard_params_global, to_host)
+    from mmqg_tpu.train import (batch_arrays, init_train_state,
+                                make_optimizer, make_train_step)
+
+    cfg = Config.load(config_path)
+    ds = QGDataset(cfg, cfg.train_file, load_media=False)
+    emb = np.load(cfg.weights_matrix_file).astype(np.float32)
+    mc = qg_model.ModelConfig.from_config(cfg, n_vocab=len(ds.vocab),
+                                          mode="text")
+    optimizer = make_optimizer(cfg)
+    ts = init_train_state(jax.random.PRNGKey(0), mc, emb, optimizer)
+    ts_host = jax.tree.map(
+        lambda x: np.asarray(x) if hasattr(x, "ndim") else x, ts)
+    batch = batch_arrays(next(ds.batches(8)))
+
+    @jax.jit
+    def loss_and_gnorm(params, model_state, b):
+        def lf(p):
+            return qg_model.loss_fn(p, model_state, mc, b, train=True,
+                                    dropout_rng=None, use_pallas=False,
+                                    dtype=jnp.float32)
+        (loss, _), g = jax.value_and_grad(lf, has_aux=True)(params)
+        return loss, optax.global_norm(g)
+
+    # local single-device reference (plain host arrays -> local device 0)
+    loss1, gnorm1 = loss_and_gnorm(ts_host["params"], ts_host["model_state"],
+                                   batch)
+    loss1, gnorm1 = float(loss1), float(gnorm1)
+
+    # cross-process mesh: all 8 devices on the data axis
+    mesh = make_mesh()
+    params_g = shard_params_global(ts_host["params"], mesh)
+    state_g = replicate_global(ts_host["model_state"], mesh)
+    sbatch = pad_and_shard_batch(dict(batch), mesh)
+    lossN, gnormN = loss_and_gnorm(params_g, state_g, sbatch)
+    lossN, gnormN = float(lossN), float(gnormN)  # fully-replicated scalars
+
+    rel_loss = abs(lossN - loss1) / max(abs(loss1), 1e-12)
+    rel_gnorm = abs(gnormN - gnorm1) / max(abs(gnorm1), 1e-12)
+    assert rel_loss < 1e-4, (loss1, lossN)
+    assert rel_gnorm < 1e-4, (gnorm1, gnormN)
+
+    # full donated train step on the cross-process mesh
+    ts_g = {
+        "params": params_g,
+        "model_state": state_g,
+        "opt_state": shard_params_global(ts_host["opt_state"], mesh),
+        "step": replicate_global(ts_host["step"], mesh),
+    }
+    step_fn = make_train_step(mc, optimizer, use_pallas=False)
+    new_ts, metrics = step_fn(ts_g, sbatch, jax.random.PRNGKey(1))
+    step_loss = float(metrics["loss"])
+    assert np.isfinite(step_loss), step_loss
+
+    # to_host round-trips a batch-sharded global array (cross-process gather)
+    gathered = to_host(sbatch["context_ids"])
+    np.testing.assert_array_equal(gathered, batch["context_ids"])
+
+    print(f"MULTIHOST_OK pid={pid} primary={is_primary()} "
+          f"rel_loss={rel_loss:.2e} rel_gnorm={rel_gnorm:.2e} "
+          f"step_loss={step_loss:.4f}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

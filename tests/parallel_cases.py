@@ -197,6 +197,52 @@ def test_evaluate_data_parallel_matches_single_device(setup, tiny_config,
     assert bleu1 == bleuN
 
 
+def test_checkpoint_resume_round_trips_on_mesh(tiny_config, tiny_corpus,
+                                               tmp_path):
+    """Train on a mesh -> checkpoint -> resume into a fresh mesh Trainer:
+    the gathered save (checkpoint.py `_to_host` on sharded arrays) and the
+    re-placement on load (`Trainer.resume` -> `_place_on_mesh`) must round-trip
+    the state exactly and leave params mesh-sharded; training must continue.
+    The single-device variant lives in test_train.py — this is the
+    --data-parallel persistence path."""
+    from jax.sharding import NamedSharding
+    from mmqg_tpu.data.dataset import QGDataset
+    from mmqg_tpu.train import Trainer
+
+    cfg = tiny_config.replace(output_path=tmp_path / "out")
+    cfg.ensure_dirs()
+
+    def build():
+        train_ds = QGDataset(cfg, cfg.train_file, load_media=False)
+        val_ds = QGDataset(cfg, cfg.val_file, load_media=False)
+        emb = np.load(cfg.weights_matrix_file).astype(np.float32)
+        mc = qg_model.ModelConfig.from_config(
+            cfg, n_vocab=len(train_ds.vocab), mode="text")
+        return Trainer(cfg, mc, emb, train_ds, val_ds,
+                       mesh=make_mesh((8, 1)), log_fn=lambda *a, **k: None)
+
+    t1 = build()
+    t1.run_epoch(0)
+    t1.save("last", 0)
+    saved = jax.tree.map(
+        lambda x: np.asarray(x) if hasattr(x, "ndim") else x,
+        t1.train_state)
+
+    t2 = build()
+    assert t2.resume("last")
+    assert t2.start_epoch == 1
+    for a, b in zip(jax.tree.leaves(saved),
+                    jax.tree.leaves(t2.train_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resumed params live on the mesh, not a single device
+    leaf = jax.tree.leaves(t2.train_state["params"])[0]
+    assert isinstance(leaf.sharding, NamedSharding)
+    assert leaf.sharding.mesh.shape == t2.mesh.shape
+    # and training continues from the restored state
+    loss = t2.run_epoch(t2.start_epoch)
+    assert np.isfinite(loss)
+
+
 def test_trainer_rejects_indivisible_mesh_accum(tiny_config, tiny_corpus):
     """batch 12 pads to 16 on an 8-way data axis; accum 3 cannot split it —
     the Trainer must fail at construction, not at trace time."""

@@ -90,6 +90,39 @@ def test_resume_restores_progress(trainer, tiny_config):
     assert max(jax.tree.leaves(diff)) == 0.0
 
 
+def test_sigterm_checkpoints_then_propagates(tiny_config, tiny_corpus,
+                                             tmp_path):
+    """SIGTERM mid-fit (how preemptible TPU VMs announce eviction) must save
+    a resumable "last" checkpoint before propagating, and fit() must restore
+    the previous SIGTERM disposition afterwards."""
+    import os
+    import signal
+
+    cfg = tiny_config.replace(output_path=tmp_path / "results")
+    cfg.ensure_dirs()
+    train_ds = QGDataset(cfg, cfg.train_file)
+    val_ds = QGDataset(cfg, cfg.val_file)
+    emb = np.load(cfg.weights_matrix_file).astype(np.float32)
+    mc = qg_model.ModelConfig.from_config(
+        cfg, n_vocab=len(train_ds.vocab), mode="text")
+
+    def preempt_after_first_epoch(msg, *a, **k):
+        os.kill(os.getpid(), signal.SIGTERM)
+
+    tr = Trainer(cfg, mc, emb, train_ds, val_ds,
+                 log_fn=preempt_after_first_epoch)
+    before = signal.getsignal(signal.SIGTERM)
+    with pytest.raises(KeyboardInterrupt, match="SIGTERM"):
+        tr.fit(epochs=5)
+    assert signal.getsignal(signal.SIGTERM) is before
+
+    from mmqg_tpu import checkpoint as ckpt
+    assert ckpt.has_checkpoint(cfg.checkpoint_dir, "last")
+    fresh = Trainer(cfg, mc, emb, train_ds, val_ds, log_fn=lambda *a: None)
+    assert fresh.resume("last")
+    assert fresh.start_epoch == 1  # exactly the one completed epoch
+
+
 def test_validate_returns_bleu_suite(trainer):
     val = trainer.validate()
     for k in ("loss", "bleu", "bleu_1", "bleu_2", "bleu_3"):
