@@ -28,6 +28,13 @@ def train_main(argv: Optional[List[str]] = None) -> None:
                         choices=["text", "text_video", "trimodal"])
     parser.add_argument("--decoder", type=str, default="attn",
                         choices=["attn", "non_attn"])
+    parser.add_argument("--video-encoder", type=str, default=None,
+                        choices=["conv_lstm", "resnet"],
+                        help="video backbone: conv_lstm (reference main "
+                             "path) or resnet (R(2+1)D-18 alternative, "
+                             "reference model/encoder.py:21-29); overrides "
+                             "config video_encoder and is recorded in the "
+                             "saved config snapshot")
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--resume", action="store_true",
                         help="resume from the last checkpoint")
@@ -82,6 +89,8 @@ def train_main(argv: Optional[List[str]] = None) -> None:
     maybe_enable_from(args.compile_cache, config)
     if args.grad_accum:
         config = config.replace(grad_accum_steps=args.grad_accum)
+    if args.video_encoder:
+        config = config.replace(video_encoder=args.video_encoder)
     config.ensure_dirs()
     load_media = args.mode != "text"
     if args.streaming:

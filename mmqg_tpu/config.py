@@ -69,6 +69,9 @@ class Config:
     video_hidden_dim: int = 512
     flatten_dim: int = 1000
     frame_size: int = 112
+    video_encoder: str = "conv_lstm"  # "conv_lstm" (reference main path,
+    #   model/encoder.py:31-78) | "resnet" (R(2+1)D-18 — the reference's
+    #   alternative backbone, model/encoder.py:21-29; models/video_resnet.py)
 
     # ---- text encoder (reference config.py:78-82) ----
     text_lstm_hidden_dim: int = 512

@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from mmqg_tpu.data.vocab import START_ID
-from mmqg_tpu.models import audio_encoder, decoder, frontends, text_encoder, video_encoder
+from mmqg_tpu.models import (audio_encoder, decoder, frontends, text_encoder,
+                             video_encoder, video_resnet)
 from mmqg_tpu.models import layers as L
 
 MODES = ("text", "text_video", "trimodal")
@@ -49,6 +50,8 @@ class ModelConfig(NamedTuple):
     target_steps: int = 22          # question_max_length + 1 (<end>)
     mode: str = "trimodal"
     decoder: str = "attn"           # "attn" | "non_attn" (reference C18 / C17)
+    video_encoder: str = "conv_lstm"  # "conv_lstm" | "resnet" (reference
+    #   model/encoder.py:31-78 / :21-29 — the R(2+1)D-18 alternative backbone)
     frame_size: int = 112
     mel_frames: int = 96
     mel_bins: int = 64
@@ -91,6 +94,11 @@ class ModelConfig(NamedTuple):
                 "av_in_channels/av_kernel_sz/av_stride must stay (3, 3, 1): "
                 "the video conv pyramid is the fixed reference topology "
                 "(model/encoder.py:37-50)")
+        venc = getattr(config, "video_encoder", "conv_lstm")
+        if venc not in ("conv_lstm", "resnet"):
+            raise ValueError(
+                f"video_encoder={venc!r}: must be 'conv_lstm' (reference "
+                "main path) or 'resnet' (R(2+1)D-18 alternative backbone)")
         if getattr(config, "param_dtype", "float32") != "float32":
             raise ValueError(
                 "param_dtype: only float32 master params are supported "
@@ -111,6 +119,7 @@ class ModelConfig(NamedTuple):
             av_max_length=config.av_max_length,
             target_steps=config.question_max_length + 1,
             mode=mode,
+            video_encoder=venc,
             frame_size=config.frame_size,
             mel_frames=config.mel_frames_per_example,
             mel_bins=config.mel_bins,
@@ -154,8 +163,17 @@ def init(rng, mc: ModelConfig, emb_weights) -> Tuple[Dict, Dict]:
     }
     state: Dict = {}
     if mc.mode in ("text_video", "trimodal"):
-        vparams, vstate = video_encoder.init(
-            k_vid, hidden_dim=mc.video_hidden_dim, flatten_dim=mc.flatten_dim)
+        if mc.video_encoder == "resnet":
+            # trunk features are 512-d; a linear head maps them to the
+            # decoder's video_emb_dim when they differ (512 -> no head, the
+            # torchvision-import layout)
+            vparams, vstate = video_resnet.init(
+                k_vid, embed_dim=(None if mc.video_hidden_dim == 512
+                                  else mc.video_hidden_dim))
+        else:
+            vparams, vstate = video_encoder.init(
+                k_vid, hidden_dim=mc.video_hidden_dim,
+                flatten_dim=mc.flatten_dim)
         params["video_enc"] = vparams
         state["video_enc"] = vstate
     if mc.mode == "trimodal":
@@ -206,7 +224,23 @@ def encode(
             frames = frames[:, :fcap]
             frames_len = jnp.minimum(frames_len, fcap)
         norm = (mc.vid_mean, mc.vid_std) if mc.normalize_video else ((0., 0., 0.), (1., 1., 1.))
-        if frames.dtype == jnp.uint8 and frames.shape[2] == frames.shape[3] == mc.frame_size:
+        if mc.video_encoder == "resnet":
+            # R(2+1)D-18 alternative backbone (reference model/encoder.py:
+            # 21-29, never driven there — memory semantics documented in
+            # video_resnet.apply_temporal). 3-D convs mix time, so padded
+            # frames are zeroed on the way in; BN stats run over all
+            # positions (torchvision's r2plus1d has no masking either).
+            prepared = frontends.prepare_frames(
+                frames, size=mc.frame_size, mean=mc.vid_mean, std=mc.vid_std,
+                normalize=mc.normalize_video)
+            tmask = (jnp.arange(prepared.shape[1])[None, :]
+                     < frames_len[:, None])
+            prepared = prepared * tmask[:, :, None, None, None].astype(
+                prepared.dtype)
+            enc_video, vstate = video_resnet.apply_temporal(
+                params["video_enc"], state["video_enc"], prepared,
+                train=train, dtype=dtype)
+        elif frames.dtype == jnp.uint8 and frames.shape[2] == frames.shape[3] == mc.frame_size:
             # fast path: raw uint8 straight into conv1 with the /255 + mean/std
             # transform folded into its weights (zero preprocessing cost)
             enc_video, vstate = video_encoder.apply(
@@ -229,7 +263,12 @@ def encode(
                 enc_video,
                 ((0, 0), (0, mc.av_max_length - enc_video.shape[1]), (0, 0)))
         new_state["video_enc"] = vstate
-        video_len = frames_len  # capped: attention must not see beyond fcap
+        if mc.video_encoder == "resnet":
+            # the trunk strides time by 8: ceil(len/8) memory steps
+            video_len = jnp.maximum(
+                video_resnet.temporal_out_len(frames_len), 1)
+        else:
+            video_len = frames_len  # capped: attention must not see past fcap
     else:
         enc_video = jnp.zeros((B, mc.av_max_length, mc.video_hidden_dim))
         video_len = jnp.ones((B,), jnp.int32)

@@ -140,10 +140,20 @@ def init(rng, *, in_channels: int = 3, embed_dim: Optional[int] = None):
     return params, state
 
 
-def apply(params, state, clips: jnp.ndarray, *, train: bool = False,
-          dtype=jnp.bfloat16):
-    """clips (B, T, H, W, 3) float -> (B, 512) or (B, embed_dim) embeddings.
-    Returns (embeddings, new_state)."""
+# Stages 2-4 each stride the temporal axis by 2 (stem is (1, 2, 2)):
+TEMPORAL_DOWNSAMPLE = 8
+
+
+def temporal_out_len(n_frames):
+    """Frame count -> trunk temporal length (SAME padding, three stride-2
+    temporal convs: ceil(n/8)). Works on ints and integer arrays."""
+    return -(-n_frames // TEMPORAL_DOWNSAMPLE)
+
+
+def _trunk(params, state, clips: jnp.ndarray, *, train: bool,
+           dtype=jnp.bfloat16):
+    """Shared stem+stages: clips (B, T, H, W, 3) float ->
+    ((B, T', H', W', 512) features, new_state), T' = ceil(T/8)."""
     x = clips
     x = _conv3d(params["stem_s"], x, (1, 2, 2), dtype=dtype)
     x, sbn = L.batchnorm(params["stem_bn"], state["stem_bn"], x, train=train)
@@ -161,7 +171,34 @@ def apply(params, state, clips: jnp.ndarray, *, train: bool = False,
                            train=train, dtype=dtype)
             stage_state.append(bs)
         new_state["stages"].append(stage_state)
+    return x, new_state
+
+
+def apply(params, state, clips: jnp.ndarray, *, train: bool = False,
+          dtype=jnp.bfloat16):
+    """clips (B, T, H, W, 3) float -> (B, 512) or (B, embed_dim) embeddings.
+    Returns (embeddings, new_state)."""
+    x, new_state = _trunk(params, state, clips, train=train, dtype=dtype)
     emb = x.mean(axis=(1, 2, 3))                       # global avg pool
     if "fc" in params:
         emb = L.dense(params["fc"], emb, dtype=dtype)
     return emb, new_state
+
+
+def apply_temporal(params, state, clips: jnp.ndarray, *, train: bool = False,
+                   dtype=jnp.bfloat16):
+    """Per-timestep features for attention memories: clips (B, T, H, W, 3)
+    float -> ((B, ceil(T/8), 512-or-embed_dim), new_state) — the trunk's
+    temporal axis with H/W average-pooled, fc (if any) applied per step.
+
+    The reference never wired its ``VideoResnetEncoder`` into a driver
+    (constructed-but-unused, reference model/encoder.py:21-29), so there is
+    no reference semantics for the attention memory; averaging only space and
+    keeping the native temporal stride is the natural TPU-first choice (the
+    decoder attends over ceil(T/8) steps instead of T). Time-pooling these
+    features reproduces ``apply`` exactly (fc is linear; tested)."""
+    x, new_state = _trunk(params, state, clips, train=train, dtype=dtype)
+    feats = x.mean(axis=(2, 3))                        # (B, T', 512)
+    if "fc" in params:
+        feats = L.dense(params["fc"], feats, dtype=dtype)
+    return feats, new_state

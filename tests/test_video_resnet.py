@@ -126,3 +126,82 @@ def test_torchvision_weight_port_parity():
     feats, _ = video_resnet.apply(params2, state2, jnp.asarray(clips),
                                   train=False, dtype=jnp.float32)
     assert np.asarray(feats).shape == (2, 512)
+
+
+# ------------------------------------------- temporal memory + driver wiring
+
+def test_apply_temporal_matches_pooled_apply():
+    """Time-averaging apply_temporal's per-step memory reproduces apply
+    exactly (H/W pool first, fc linear) — the memory is the trunk's own
+    features, not a re-derivation."""
+    params, state = video_resnet.init(jax.random.PRNGKey(2), embed_dim=24)
+    clips = jnp.asarray(np.random.RandomState(1).rand(2, 9, 16, 16, 3),
+                        jnp.float32)
+    feats, _ = video_resnet.apply_temporal(params, state, clips,
+                                           dtype=jnp.float32)
+    pooled, _ = video_resnet.apply(params, state, clips, dtype=jnp.float32)
+    assert feats.shape == (2, video_resnet.temporal_out_len(9), 24)
+    np.testing.assert_allclose(np.asarray(feats.mean(axis=1)),
+                               np.asarray(pooled), rtol=2e-5, atol=2e-5)
+
+
+def test_temporal_out_len():
+    assert video_resnet.temporal_out_len(1) == 1
+    assert video_resnet.temporal_out_len(8) == 1
+    assert video_resnet.temporal_out_len(9) == 2
+    assert video_resnet.temporal_out_len(101) == 13
+    np.testing.assert_array_equal(
+        np.asarray(video_resnet.temporal_out_len(jnp.asarray([1, 8, 9]))),
+        [1, 1, 2])
+
+
+def test_qg_model_resnet_end_to_end(tiny_config, tiny_corpus):
+    """video_encoder='resnet' drives the full model: finite loss, gradients
+    reach the resnet trunk, greedy decode produces tokens, and the memory
+    mask length follows the trunk's /8 temporal stride."""
+    import jax.numpy as _jnp
+
+    from mmqg_tpu import decode
+    from mmqg_tpu.data.dataset import QGDataset
+    from mmqg_tpu.models import qg_model
+    from mmqg_tpu.train import batch_arrays
+
+    cfg = tiny_config.replace(video_encoder="resnet")
+    ds = QGDataset(cfg, cfg.train_file)
+    emb = np.load(cfg.weights_matrix_file).astype(np.float32)
+    mc = qg_model.ModelConfig.from_config(cfg, n_vocab=len(ds.vocab),
+                                          mode="text_video")
+    assert mc.video_encoder == "resnet"
+    params, state = qg_model.init(jax.random.PRNGKey(0), mc, emb)
+    assert "stem_s" in params["video_enc"]          # resnet tree, not conv-lstm
+    batch = batch_arrays(next(ds.batches(4)))
+
+    mem, _, _ = qg_model.encode(params, state, mc, batch, train=False,
+                                use_pallas=False, dtype=_jnp.float32)
+    assert mem.enc_video.shape == (4, mc.av_max_length, mc.video_hidden_dim)
+    np.testing.assert_array_equal(
+        np.asarray(mem.video_len),
+        np.maximum(-(-np.asarray(batch["frames_len"]) // 8), 1))
+
+    def lf(p):
+        loss, _ = qg_model.loss_fn(p, state, mc, batch, train=False,
+                                   use_pallas=False, dtype=_jnp.float32)
+        return loss
+    loss, grads = jax.value_and_grad(lf)(params)
+    assert np.isfinite(float(loss))
+    gnorm = sum(float(_jnp.abs(g).sum())
+                for g in jax.tree.leaves(grads["video_enc"]))
+    assert gnorm > 0                                 # gradients reach the trunk
+
+    toks = decode.decode_batch(params, state, mc, batch,
+                               jax.random.PRNGKey(1), strategy="greedy",
+                               max_len=cfg.question_max_length,
+                               use_pallas=False, dtype=_jnp.float32)
+    assert np.asarray(toks).shape == (4, cfg.question_max_length)
+
+
+def test_config_rejects_unknown_video_encoder(tiny_config):
+    from mmqg_tpu.models import qg_model
+    with np.testing.assert_raises(ValueError):
+        qg_model.ModelConfig.from_config(
+            tiny_config.replace(video_encoder="i3d"), n_vocab=10)
