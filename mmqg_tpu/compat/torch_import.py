@@ -163,6 +163,38 @@ def import_video_resnet(sd: Dict, *, embed_dim: int = None) -> Tuple[Dict, Dict]
     return params, state
 
 
+def load_pretrained_video_resnet(params: Dict, state: Dict,
+                                 sd: Dict) -> Tuple[Dict, Dict]:
+    """Drop torchvision ``r2plus1d_18`` pretrained weights into a FULL model
+    built with ``video_encoder: "resnet"`` — the workflow the reference's
+    ``pretrained=True`` construction implies (model/encoder.py:21-29, it
+    downloaded Kinetics-400 weights at init). Returns new (params, state)
+    with ``video_enc`` replaced; every other subtree (text encoder, decoder,
+    embedding, audio) is untouched.
+
+    The Kinetics fc head is dropped or kept to match the model: a model
+    whose ``video_enc`` has an ``fc`` (video_hidden_dim != 512) requires a
+    matching-width head in ``sd``; the common 512-wide model imports
+    headless, exactly what the reference wrapper consumed."""
+    target = params["video_enc"]
+    if "fc" in target:
+        want = target["fc"]["w"].shape[1]
+        have = _np(sd["fc.weight"]).shape[0]
+        if want != have:
+            raise ValueError(
+                f"model expects a {want}-wide video head but the state_dict "
+                f"fc is {have}-wide; retrain the head or set "
+                "video_hidden_dim: 512 to use the trunk features directly")
+        vp, vs = import_video_resnet(sd, embed_dim=want)
+    else:
+        vp, vs = import_video_resnet(sd)
+    new_params = dict(params)
+    new_params["video_enc"] = vp
+    new_state = dict(state)
+    new_state["video_enc"] = vs
+    return new_params, new_state
+
+
 def import_embedding(weight) -> Dict:
     """learned_weight.pt tensor -> embedding params (float32 — the
     reference's int64 cast bug is not reproduced)."""

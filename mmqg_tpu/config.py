@@ -72,6 +72,9 @@ class Config:
     video_encoder: str = "conv_lstm"  # "conv_lstm" (reference main path,
     #   model/encoder.py:31-78) | "resnet" (R(2+1)D-18 — the reference's
     #   alternative backbone, model/encoder.py:21-29; models/video_resnet.py)
+    remat_video: bool = False  # rematerialise the video tower's activations
+    #   in the backward pass (jax.checkpoint): HBM for FLOPs — raises the
+    #   resnet backbone's trainable batch size (PERF.md "R(2+1)D backbone")
 
     # ---- text encoder (reference config.py:78-82) ----
     text_lstm_hidden_dim: int = 512

@@ -52,6 +52,11 @@ class ModelConfig(NamedTuple):
     decoder: str = "attn"           # "attn" | "non_attn" (reference C18 / C17)
     video_encoder: str = "conv_lstm"  # "conv_lstm" | "resnet" (reference
     #   model/encoder.py:31-78 / :21-29 — the R(2+1)D-18 alternative backbone)
+    remat_video: bool = False       # jax.checkpoint the video tower while
+    #   training: recompute its activations in the backward pass instead of
+    #   holding them in HBM. Raises the resnet backbone's trainable batch
+    #   (its 101x112x112 activation stack is the HBM wall; measured in
+    #   PERF.md "R(2+1)D backbone") at the cost of a second forward.
     frame_size: int = 112
     mel_frames: int = 96
     mel_bins: int = 64
@@ -120,6 +125,7 @@ class ModelConfig(NamedTuple):
             target_steps=config.question_max_length + 1,
             mode=mode,
             video_encoder=venc,
+            remat_video=getattr(config, "remat_video", False),
             frame_size=config.frame_size,
             mel_frames=config.mel_frames_per_example,
             mel_bins=config.mel_bins,
@@ -224,6 +230,11 @@ def encode(
             frames = frames[:, :fcap]
             frames_len = jnp.minimum(frames_len, fcap)
         norm = (mc.vid_mean, mc.vid_std) if mc.normalize_video else ((0., 0., 0.), (1., 1., 1.))
+        # remat_video: trade a second tower forward for not holding its
+        # activations through the decoder/backward (HBM is the training
+        # ceiling for the resnet backbone — ModelConfig.remat_video)
+        remat = (jax.checkpoint if (train and mc.remat_video)
+                 else (lambda f: f))
         if mc.video_encoder == "resnet":
             # R(2+1)D-18 alternative backbone (reference model/encoder.py:
             # 21-29, never driven there — memory semantics documented in
@@ -237,24 +248,27 @@ def encode(
                      < frames_len[:, None])
             prepared = prepared * tmask[:, :, None, None, None].astype(
                 prepared.dtype)
-            enc_video, vstate = video_resnet.apply_temporal(
-                params["video_enc"], state["video_enc"], prepared,
-                train=train, dtype=dtype)
+            enc_video, vstate = remat(
+                lambda p, s, x: video_resnet.apply_temporal(
+                    p, s, x, train=train, dtype=dtype))(
+                params["video_enc"], state["video_enc"], prepared)
         elif frames.dtype == jnp.uint8 and frames.shape[2] == frames.shape[3] == mc.frame_size:
             # fast path: raw uint8 straight into conv1 with the /255 + mean/std
             # transform folded into its weights (zero preprocessing cost)
-            enc_video, vstate = video_encoder.apply(
-                params["video_enc"], state["video_enc"], frames,
-                frames_len, train=train, normalization=norm,
-                use_pallas=use_pallas, dtype=dtype)
+            enc_video, vstate = remat(
+                lambda p, s, f, fl: video_encoder.apply(
+                    p, s, f, fl, train=train, normalization=norm,
+                    use_pallas=use_pallas, dtype=dtype))(
+                params["video_enc"], state["video_enc"], frames, frames_len)
         else:
             prepared = frontends.prepare_frames(
                 frames, size=mc.frame_size, mean=mc.vid_mean, std=mc.vid_std,
                 normalize=mc.normalize_video)
-            enc_video, vstate = video_encoder.apply(
-                params["video_enc"], state["video_enc"], prepared,
-                frames_len, train=train, use_pallas=use_pallas,
-                dtype=dtype)
+            enc_video, vstate = remat(
+                lambda p, s, f, fl: video_encoder.apply(
+                    p, s, f, fl, train=train, use_pallas=use_pallas,
+                    dtype=dtype))(
+                params["video_enc"], state["video_enc"], prepared, frames_len)
         if enc_video.shape[1] < mc.av_max_length:
             # pad by the ACTUAL encoded length, not fcap: a caller may ship a
             # frames buffer shorter than the bucket (external loaders), in

@@ -60,6 +60,9 @@ def _spec_for(path: str, leaf) -> P:
     # conv kernels (H, W, I, O): shard output channels
     if leaf.ndim == 4:
         return P(None, None, None, "model")
+    # 3-D conv kernels (T, H, W, I, O — the R(2+1)D trunk): same rule
+    if leaf.ndim == 5:
+        return P(None, None, None, None, "model")
     # embedding table: replicated (gathered by ids everywhere)
     return P()
 

@@ -258,3 +258,60 @@ def test_trainer_rejects_indivisible_mesh_accum(tiny_config, tiny_corpus):
     cfg = tiny_config.replace(batch_size=12, grad_accum_steps=3)
     with pytest.raises(ValueError, match="grad_accum_steps"):
         Trainer(cfg, mc, emb, train_ds, val_ds, mesh=make_mesh((8, 1)))
+
+
+def test_resnet_backbone_on_mesh(tiny_config, tiny_corpus):
+    """video_encoder='resnet' on the mesh. Two halves:
+
+    (a) DP execution on (8, 1): sharded loss/grad-norm match one device.
+    Tolerances follow this model's measured conditioning — at tiny dims the
+    20-BN trunk amplifies f32 reassociation noise to ~1e-1 on single LEAVES
+    between two compilations of the SAME graph (see test_video_resnet.py's
+    self-calibrated remat test); the aggregated gradient NORM stays ~1e-3,
+    while a dropped/double psum shifts it O(1).
+
+    (b) TP placement on (4, 2) as pure metadata: the 5-D conv kernels shard
+    their output-channel dim on the model axis (mesh._spec_for ndim==5
+    rule). EXECUTING the 20-layer 3-D conv graph under TP collectives on the
+    1-core virtual mesh reliably trips the XLA:CPU rendezvous abort (NOTES_
+    NEXT_ROUND.md "Known flake"), and TP execution correctness is already
+    proven by the (4,2)/(2,4) conv-LSTM/trimodal cases above — only the
+    placement rule is new here."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec
+    from mmqg_tpu.parallel import param_shardings
+    from mmqg_tpu.parallel.mesh import pad_and_shard_batch
+
+    cfg = tiny_config.replace(video_encoder="resnet")
+    ds = QGDataset(cfg, cfg.train_file)
+    emb = np.load(cfg.weights_matrix_file).astype(np.float32)
+    mc = qg_model.ModelConfig.from_config(cfg, n_vocab=len(ds.vocab),
+                                          mode="text_video")
+    params, state = qg_model.init(jax.random.PRNGKey(0), mc, emb)
+    batch = batch_arrays(next(ds.batches(8)))
+
+    @jax.jit
+    def loss_gnorm(p, ms, b):
+        def lf(pp):
+            return qg_model.loss_fn(pp, ms, mc, b, train=True,
+                                    dropout_rng=None, use_pallas=False,
+                                    dtype=jnp.float32)
+        (loss, _), g = jax.value_and_grad(lf, has_aux=True)(p)
+        return loss, optax.global_norm(g)
+
+    loss1, gn1 = loss_gnorm(params, state, batch)
+
+    mesh = make_mesh((8, 1))
+    pm = shard_params(params, mesh)
+    sm = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
+    sb = pad_and_shard_batch(dict(batch), mesh)
+    lossN, gnN = loss_gnorm(pm, sm, sb)
+    assert abs(float(lossN) - float(loss1)) / abs(float(loss1)) < 1e-5
+    assert abs(float(gnN) - float(gn1)) / float(gn1) < 1e-2
+
+    # (b) TP placement rule, metadata only
+    tp = param_shardings(params, make_mesh((4, 2)))
+    lw = tp["video_enc"]["stages"][3][0]["conv1"]["temporal"]
+    assert lw["w"].spec[-1] == "model", lw["w"].spec      # (3,1,1,M,512)
+    stem = tp["video_enc"]["stem_s"]
+    assert stem["w"].spec[-1] is None, stem["w"].spec     # 45 % 2 != 0

@@ -61,6 +61,12 @@ def test_model_config_honours_every_declared_knob(tiny_config):
     assert mc.text_dropout == 0.35
     assert mc.dropout == cfg.dec_lstm_dropout
 
+    mc2 = qg_model.ModelConfig.from_config(
+        tiny_config.replace(video_encoder="resnet", remat_video=True),
+        n_vocab=30)
+    assert mc2.video_encoder == "resnet"
+    assert mc2.remat_video is True
+
     with pytest.raises(ValueError, match="dec_lstm_hidden_dim"):
         qg_model.ModelConfig.from_config(
             tiny_config.replace(dec_lstm_hidden_dim=32), n_vocab=30)

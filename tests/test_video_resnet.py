@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mmqg_tpu.models import video_resnet
 
@@ -205,3 +206,98 @@ def test_config_rejects_unknown_video_encoder(tiny_config):
     with np.testing.assert_raises(ValueError):
         qg_model.ModelConfig.from_config(
             tiny_config.replace(video_encoder="i3d"), n_vocab=10)
+
+
+def test_load_pretrained_into_full_model(tiny_config, tiny_corpus):
+    """compat.load_pretrained_video_resnet swaps a full model's video trunk
+    for torchvision-layout pretrained weights (the reference's
+    pretrained=True workflow, model/encoder.py:21-29) and leaves every other
+    subtree untouched; a head-width mismatch fails loudly."""
+    from mmqg_tpu.compat import load_pretrained_video_resnet
+    from mmqg_tpu.compat.torch_import import import_video_resnet
+    from mmqg_tpu.data.dataset import QGDataset
+    from mmqg_tpu.models import qg_model
+
+    cfg = tiny_config.replace(video_encoder="resnet")
+    ds = QGDataset(cfg, cfg.train_file, load_media=False)
+    emb = np.load(cfg.weights_matrix_file).astype(np.float32)
+    mc = qg_model.ModelConfig.from_config(cfg, n_vocab=len(ds.vocab),
+                                          mode="text_video")
+    params, state = qg_model.init(jax.random.PRNGKey(0), mc, emb)
+
+    m = _torch_r2plus1d_18(num_classes=cfg.video_hidden_dim)
+    sd = {k: v.numpy() for k, v in m.state_dict().items()}
+    new_params, new_state = load_pretrained_video_resnet(params, state, sd)
+
+    want_p, want_s = import_video_resnet(sd, embed_dim=cfg.video_hidden_dim)
+    for a, b in zip(jax.tree.leaves(new_params["video_enc"]),
+                    jax.tree.leaves(want_p)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(new_state["video_enc"]),
+                    jax.tree.leaves(want_s)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # untouched subtrees are the same objects
+    assert new_params["text_enc"] is params["text_enc"]
+    assert new_params["decoder"] is params["decoder"]
+    assert new_params["embedding"] is params["embedding"]
+
+    # head-width mismatch: loud error, not silent shape corruption
+    m2 = _torch_r2plus1d_18(num_classes=400)
+    sd2 = {k: v.numpy() for k, v in m2.state_dict().items()}
+    with np.testing.assert_raises(ValueError):
+        load_pretrained_video_resnet(params, state, sd2)
+
+
+@pytest.mark.parametrize("backbone", ["conv_lstm", "resnet"])
+def test_remat_video_is_exact(tiny_config, tiny_corpus, backbone):
+    """remat_video (jax.checkpoint on the video tower) must change memory,
+    not math. conv-LSTM comes out bit-exact. The resnet trunk's gradients
+    are ill-conditioned AT THESE TINY DIMS (batch-4 BN stats over
+    near-constant zero-padded clips amplify f32 reassociation noise: even
+    jit-vs-eager of the SAME remat-free graph differs by ~1e-1 relative on
+    trunk leaves), so the resnet case self-calibrates: the remat-on/off
+    delta must sit at-or-below the jit-vs-eager noise floor measured on the
+    same model/batch — a real remat bug (dropped term, stale weights) is
+    O(1), orders above any floor."""
+    from mmqg_tpu.data.dataset import QGDataset
+    from mmqg_tpu.models import qg_model
+
+    ds = QGDataset(tiny_config, tiny_config.train_file)
+    emb = np.load(tiny_config.weights_matrix_file).astype(np.float32)
+    from mmqg_tpu.train import batch_arrays
+    batch = batch_arrays(next(ds.batches(4)))
+
+    def loss_grad(remat, jit=False):
+        cfg = tiny_config.replace(video_encoder=backbone, remat_video=remat)
+        mc = qg_model.ModelConfig.from_config(cfg, n_vocab=len(ds.vocab),
+                                              mode="text_video")
+        params, state = qg_model.init(jax.random.PRNGKey(0), mc, emb)
+
+        def lf(p):
+            loss, _ = qg_model.loss_fn(p, state, mc, batch, train=True,
+                                       dropout_rng=None, use_pallas=False,
+                                       dtype=jnp.float32)
+            return loss
+        vg = jax.value_and_grad(lf)
+        return (jax.jit(vg) if jit else vg)(params)
+
+    def worst_rel(ga, gb):
+        return max(
+            float(np.max(np.abs(np.asarray(a) - np.asarray(b)))
+                  / max(np.max(np.abs(np.asarray(a))), 1e-30))
+            for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)))
+
+    l0, g0 = loss_grad(remat=False)
+    l1, g1 = loss_grad(remat=True)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    if backbone == "conv_lstm":
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    else:
+        # self-calibrated: remat's delta must not exceed the same model's
+        # jit-vs-eager compilation noise (x2 slack); a dropped term is O(1)
+        _, g_jit = loss_grad(remat=False, jit=True)
+        floor = worst_rel(g0, g_jit)
+        delta = worst_rel(g0, g1)
+        assert delta <= max(2 * floor, 1e-5), (delta, floor)
+        assert delta < 0.5, delta                # absolute O(1)-bug backstop
