@@ -79,6 +79,13 @@ def train_main(argv: Optional[List[str]] = None) -> None:
         from mmqg_tpu.parallel.multihost import initialize_multihost
         initialize_multihost(args.coordinator, args.num_processes,
                              args.process_id)
+        if not args.data_parallel:
+            # without a mesh each process would train an identical full
+            # copy and all but process 0's would be thrown away
+            print("warning: --multihost without --data-parallel runs N "
+                  "identical copies of the job (no mesh spans the "
+                  "processes); add --data-parallel to shard the batch "
+                  "across hosts")
 
     from mmqg_tpu.data.dataset import QGDataset
     from mmqg_tpu.models import qg_model

@@ -179,6 +179,12 @@ def load_pretrained_video_resnet(params: Dict, state: Dict,
     target = params["video_enc"]
     if "fc" in target:
         want = target["fc"]["w"].shape[1]
+        if "fc.weight" not in sd:
+            raise ValueError(
+                f"model expects a {want}-wide video head but the state_dict "
+                "has no fc at all (trunk-only export); retrain the head or "
+                "set video_hidden_dim: 512 to use the trunk features "
+                "directly")
         have = _np(sd["fc.weight"]).shape[0]
         if want != have:
             raise ValueError(

@@ -27,13 +27,14 @@ from __future__ import annotations
 import os
 
 
-def force_virtual_cpu_devices(n_devices: int = 8) -> None:
-    """Make this process see ``n_devices`` virtual CPU jax devices.
-
-    Idempotent. Must run before jax initialises its backends (importing jax
-    is fine; calling ``jax.devices()`` first is not). Raises RuntimeError if
-    the backend already initialised with too few devices.
-    """
+def set_virtual_cpu_env(n_devices: int = 8) -> None:
+    """Env-only half of the bootstrap: platform pin, device count, and the
+    collective-timeout mitigations (trap #3), with NO jax import or backend
+    initialisation. Split out for the multi-process runtime
+    (parallel/multihost.py), which must call ``jax.distributed.initialize``
+    BEFORE anything touches the backend — so it cannot use the validating
+    ``force_virtual_cpu_devices`` below (whose ``jax.device_count()``
+    initialises it) and validates per-process device count itself."""
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
@@ -44,6 +45,16 @@ def force_virtual_cpu_devices(n_devices: int = 8) -> None:
                   " --xla_cpu_collective_call_warn_stuck_timeout_seconds=60"
                   " --xla_cpu_collective_timeout_seconds=300")
     os.environ["XLA_FLAGS"] = flags
+
+
+def force_virtual_cpu_devices(n_devices: int = 8) -> None:
+    """Make this process see ``n_devices`` virtual CPU jax devices.
+
+    Idempotent. Must run before jax initialises its backends (importing jax
+    is fine; calling ``jax.devices()`` first is not). Raises RuntimeError if
+    the backend already initialised with too few devices.
+    """
+    set_virtual_cpu_env(n_devices)
 
     import jax
 

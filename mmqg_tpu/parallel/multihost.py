@@ -29,7 +29,6 @@ TPU pods).
 
 from __future__ import annotations
 
-import os
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -50,12 +49,13 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     devices (the multi-host analogue of bootstrap.force_virtual_cpu_devices).
     """
     if virtual_cpu_devices_per_process:
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            flags = (flags + " --xla_force_host_platform_device_count="
-                     f"{virtual_cpu_devices_per_process}").strip()
-        os.environ["XLA_FLAGS"] = flags
+        # env-only half of the shared bootstrap: also raises the XLA:CPU
+        # collective timeouts (trap #3 — the rendezvous LOG(FATAL) on a
+        # starved 1-core box applies to cross-process gloo runs too). The
+        # validating full bootstrap can't be used here: its device_count()
+        # would initialise the backend before jax.distributed.initialize.
+        from mmqg_tpu.parallel.bootstrap import set_virtual_cpu_env
+        set_virtual_cpu_env(virtual_cpu_devices_per_process)
 
     import jax
 
@@ -65,6 +65,17 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)
+    if virtual_cpu_devices_per_process:
+        have = len(jax.local_devices())
+        if have != virtual_cpu_devices_per_process:
+            raise RuntimeError(
+                f"multihost virtual-CPU bootstrap failed: wanted "
+                f"{virtual_cpu_devices_per_process} local devices, got "
+                f"{have} (platform {jax.devices()[0].platform!r}). An "
+                "inherited xla_force_host_platform_device_count in XLA_FLAGS "
+                "wins over the requested count — scrub it from the "
+                "environment first, and call this before any jax.devices()/"
+                "jit in the process.")
 
 
 def is_primary() -> bool:

@@ -470,7 +470,12 @@ class Trainer:
             raise
         finally:
             if installed:
-                signal.signal(signal.SIGTERM, prev_handler)
+                # a None previous handler means "installed by non-Python
+                # code" — not expressible to signal.signal; SIG_DFL is the
+                # closest restorable disposition
+                signal.signal(signal.SIGTERM,
+                              prev_handler if prev_handler is not None
+                              else signal.SIG_DFL)
             ckpt.wait_for_pending()  # async saves must land before return
 
     def _fit_inner(self, epochs: int) -> Tuple[Dict, int]:

@@ -54,7 +54,15 @@ def _run_once(config_path: str, timeout: float = 600.0):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=timeout)
+            try:
+                out, _ = p.communicate(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                # hung rendezvous (the deadlock flavour of the known
+                # XLA:CPU flake): kill and report like an abnormal exit so
+                # the caller's retry covers it too
+                p.kill()
+                out, _ = p.communicate()
+                out = (out or "") + "\n[child timed out]"
             outs.append(out)
     finally:
         for p in procs:

@@ -193,3 +193,30 @@ def test_pack_buckets_batch_sizes(trained):
                          "how is the data model part"], strategy="greedy")
     assert len(out) == 3
     assert all(isinstance(s, str) for s in out)
+
+
+def test_pipeline_resnet_backbone(tiny_config, tiny_corpus,
+                                  tmp_path_factory):
+    """Serving with video_encoder='resnet': a checkpoint trained with the
+    R(2+1)D backbone reconstructs from its config snapshot (the snapshot
+    records the knob) and generates on frames through QGPipeline."""
+    cfg = tiny_config.replace(
+        output_path=tmp_path_factory.mktemp("pipe_resnet") / "results",
+        video_encoder="resnet")
+    cfg.ensure_dirs()
+    train_ds = QGDataset(cfg, cfg.train_file)
+    val_ds = QGDataset(cfg, cfg.val_file)
+    emb = np.load(cfg.weights_matrix_file).astype(np.float32)
+    mc = qg_model.ModelConfig.from_config(cfg, n_vocab=len(train_ds.vocab),
+                                          mode="text_video")
+    tr = Trainer(cfg, mc, emb, train_ds, val_ds, log_fn=lambda *a: None)
+    tr.fit(epochs=1)
+
+    pipe = QGPipeline.from_checkpoint(cfg, alias="best", mode="text_video")
+    assert pipe.mc.video_encoder == "resnet"
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 256, (2, cfg.frame_size, cfg.frame_size, 3),
+                         np.uint8)
+    out = pipe.generate(["what is the process of the system"],
+                        frames=[frames], strategy="greedy")
+    assert len(out) == 1 and isinstance(out[0], str)

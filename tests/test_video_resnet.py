@@ -246,6 +246,10 @@ def test_load_pretrained_into_full_model(tiny_config, tiny_corpus):
     sd2 = {k: v.numpy() for k, v in m2.state_dict().items()}
     with np.testing.assert_raises(ValueError):
         load_pretrained_video_resnet(params, state, sd2)
+    # trunk-only export (no fc at all): same loud error, not a KeyError
+    sd_nofc = {k: v for k, v in sd2.items() if not k.startswith("fc.")}
+    with np.testing.assert_raises(ValueError):
+        load_pretrained_video_resnet(params, state, sd_nofc)
 
 
 @pytest.mark.parametrize("backbone", ["conv_lstm", "resnet"])
