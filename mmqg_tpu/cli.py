@@ -42,6 +42,17 @@ def train_main(argv: Optional[List[str]] = None) -> None:
                         help="shard training over all devices "
                              "(data axis of a (data, model) mesh); "
                              "gradients all-reduce over ICI")
+    parser.add_argument("--zero1", action="store_true",
+                        help="ZeRO-1: shard optimizer state 1/dp over the "
+                             "data axis (needs --data-parallel); ~dp x less "
+                             "optimizer memory, same collective volume; "
+                             "sets config zero1")
+    parser.add_argument("--sequence-parallel", action="store_true",
+                        help="training-side SP: shard the context axis of "
+                             "the text attention memory over the mesh's "
+                             "model axis (needs --data-parallel and "
+                             "mesh_shape with model axis > 1); sets "
+                             "config sequence_parallel_train")
     parser.add_argument("--streaming", action="store_true",
                         help="stream batches from disk (double-buffered "
                              "C++ pack pool) instead of materialising the "
@@ -98,22 +109,12 @@ def train_main(argv: Optional[List[str]] = None) -> None:
         config = config.replace(grad_accum_steps=args.grad_accum)
     if args.video_encoder:
         config = config.replace(video_encoder=args.video_encoder)
+    if args.sequence_parallel:
+        config = config.replace(sequence_parallel_train=True)
+    if args.zero1:
+        config = config.replace(zero1=True)
     config.ensure_dirs()
     load_media = args.mode != "text"
-    if args.streaming:
-        from mmqg_tpu.data.streaming import StreamingLoader
-        train_ds = StreamingLoader(config, config.train_file,
-                                   batch_size=config.batch_size,
-                                   load_media=load_media)
-        val_ds = StreamingLoader(config, config.val_file,
-                                 batch_size=config.eval_batch_size,
-                                 load_media=load_media)
-    else:
-        train_ds = QGDataset(config, config.train_file, load_media=load_media)
-        val_ds = QGDataset(config, config.val_file, load_media=load_media)
-    emb = np.load(config.weights_matrix_file).astype(np.float32)
-    mc = qg_model.ModelConfig.from_config(config, n_vocab=len(train_ds.vocab),
-                                          mode=args.mode, dec=args.decoder)
     mesh = None
     import jax
     if args.data_parallel:
@@ -132,6 +133,27 @@ def train_main(argv: Optional[List[str]] = None) -> None:
         else:
             print("warning: --data-parallel requested but only one device "
                   "is visible; training single-device")
+    if args.streaming:
+        from mmqg_tpu.data.streaming import StreamingLoader
+        # multi-process + mesh: each process packs media only for the row
+        # block it contributes (sharded loading — per-host IO scales 1/P)
+        from mmqg_tpu.parallel.multihost import loader_local_rows
+        train_ds = StreamingLoader(config, config.train_file,
+                                   batch_size=config.batch_size,
+                                   load_media=load_media,
+                                   local_rows=loader_local_rows(
+                                       mesh, config.batch_size))
+        val_ds = StreamingLoader(config, config.val_file,
+                                 batch_size=config.eval_batch_size,
+                                 load_media=load_media,
+                                 local_rows=loader_local_rows(
+                                     mesh, config.eval_batch_size))
+    else:
+        train_ds = QGDataset(config, config.train_file, load_media=load_media)
+        val_ds = QGDataset(config, config.val_file, load_media=load_media)
+    emb = np.load(config.weights_matrix_file).astype(np.float32)
+    mc = qg_model.ModelConfig.from_config(config, n_vocab=len(train_ds.vocab),
+                                          mode=args.mode, dec=args.decoder)
     trainer = Trainer(config, mc, emb, train_ds, val_ds, mesh=mesh,
                       profile_dir=args.profile_dir)
     if args.resume and trainer.resume("last"):

@@ -104,6 +104,16 @@ class Config:
     checkpoint_backend: str = "msgpack"  # or "orbax" (tensorstore interop)
     checkpoint_async: bool = False   # write checkpoints off the train thread
     donate_buffers: bool = True      # donate train-state buffers (PERF.md)
+    zero1: bool = False  # ZeRO-1 optimizer-state sharding: Adam moments
+    #   shard 1/dp over the data axis (parallel/mesh.zero1_shardings);
+    #   gradients reduce-scatter into the update, only updated params
+    #   all-gather back. ~dp x less optimizer memory at equal collective
+    #   volume. Needs a mesh with data axis > 1; no-op otherwise.
+    sequence_parallel_train: bool = False  # shard the text-memory context
+    #   axis over the model axis inside the TRAIN step (mesh.sequence_
+    #   constraint — the training analogue of serving's sp_greedy_decode).
+    #   Pure ceremony at the reference's 283 tokens (SURVEY.md §5); exists
+    #   for longer corpora. Needs a mesh with model axis > 1.
     train_av_bucketing: bool = True  # skip padded AV slots in train steps
     train_av_bucket_granularity: int = 8  # shared with serving's decode._bucket.
     #   Measured A/B (scripts/bench_train_buckets.py, PERF.md): eighths are 8%

@@ -32,10 +32,28 @@ class StreamingLoader:
                  index_to_word: Optional[Dict[str, str]] = None,
                  *, batch_size: int, load_media: bool = True,
                  max_audio_seconds: Optional[int] = None,
-                 pack_threads: int = 2):
+                 pack_threads: int = 2,
+                 local_rows: Optional[tuple] = None):
+        """``local_rows=(start, stop)``: per-process sharded loading for
+        multi-host runs — pack media only for batch rows in [start, stop),
+        the block this process contributes to the global batch
+        (parallel.multihost.local_row_range). Other rows' media buffers stay
+        zero and never reach a device (assemble_global_batch takes each row
+        from its owning process), so per-host disk/decode cost scales 1/P
+        with the process count instead of every host reading the full
+        global batch. Text fields stay full (tiny, and the host-side BLEU /
+        bucket logic wants them). None = load every row (single-process)."""
         self.config = config
         self.batch_size = batch_size
         self.load_media = load_media
+        if local_rows is not None:
+            lo, hi = int(local_rows[0]), int(local_rows[1])
+            if not (0 <= lo <= hi <= batch_size):
+                raise ValueError(
+                    f"local_rows {local_rows} out of range for batch_size "
+                    f"{batch_size}")
+            local_rows = (lo, hi)
+        self.local_rows = local_rows
         self.pack_threads = pack_threads
         with open(questions_file) as f:
             self.records: List[Dict] = json.load(f)
@@ -87,6 +105,10 @@ class StreamingLoader:
             return None
         fps = [self.frame_paths[j] for j in chunk]
         wps = [self.wav_paths[j] for j in chunk]
+        if self.local_rows is not None:  # pack only this process's rows
+            lo, hi = self.local_rows
+            fps = [p if lo <= bi < hi else None for bi, p in enumerate(fps)]
+            wps = [p if lo <= bi < hi else None for bi, p in enumerate(wps)]
         handle = native.pack_batch_async(
             fps, wps, buf["frames"], buf["audio_pcm"],
             buf["frames_len"], buf["audio_len"],

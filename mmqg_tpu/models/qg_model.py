@@ -355,6 +355,7 @@ def loss_fn(
     dtype=jnp.bfloat16,
     audio_cap: Optional[int] = None,
     frames_cap: Optional[int] = None,
+    mem_constraint=None,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Teacher-forced masked CE. Returns (objective, aux dict).
     objective = mean over valid samples of per-sample summed CE
@@ -364,7 +365,15 @@ def loss_fn(
     batch's real AV lengths, exactly like the serving path: padded slots'
     embeddings are zero-masked before attention, so their gradients are
     identically zero — capping changes compute, not gradients (tested in
-    test_train.py::test_bucketed_train_step_matches_uncapped)."""
+    test_train.py::test_bucketed_train_step_matches_uncapped).
+
+    ``mem_constraint`` (optional callable): sequence-parallel sharding
+    annotation applied to the text attention memory (B, L, H) — training-side
+    SP, the analogue of serving's parallel.mesh.sp_greedy_decode. Pass
+    ``parallel.mesh.sequence_constraint(mesh)``; XLA then keeps the context
+    axis sharded over the model axis through the teacher-forced decode and
+    its backward, inserting the gathers/reduce-scatters where the attention
+    consumes/produces it (SURVEY.md §5 long-context)."""
     target = batch["target_ids"]                       # (B, T)
     B, T = target.shape
     start = jnp.full((B, 1), START_ID, target.dtype)
@@ -383,6 +392,8 @@ def loss_fn(
         params, state, mc, batch, train=train, dropout_rng=dropout_rng,
         use_pallas=use_pallas, dtype=dtype, audio_cap=audio_cap,
         frames_cap=frames_cap)
+    if mem_constraint is not None:
+        mem = mem._replace(enc_text=mem_constraint(mem.enc_text))
     if mc.decoder == "attn":
         logits = decoder.teacher_forced_logits(
             params["decoder"], params["embedding"]["table"], dec_inputs, mem,

@@ -11,8 +11,9 @@ collectives ride DCN (multihost.py).
 
 from mmqg_tpu.parallel.mesh import (  # noqa: F401
     make_mesh, batch_sharding, pad_and_shard_batch, param_shardings,
-    shard_batch, shard_params,
+    shard_batch, shard_opt_state, shard_params, zero1_shardings,
 )
 from mmqg_tpu.parallel.multihost import (  # noqa: F401
-    assemble_global_batch, initialize_multihost, is_primary, to_host,
+    assemble_global_batch, global_max_int, initialize_multihost, is_primary,
+    loader_local_rows, local_row_range, place_global, to_host,
 )

@@ -146,6 +146,61 @@ def pad_and_shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     return assemble_global_batch(batch, mesh)
 
 
+# ----------------------------------------------------------- ZeRO-1 (opt state)
+
+def zero1_shardings(opt_state, mesh: Mesh):
+    """NamedShardings for the optimizer state with ZeRO-1 partitioning.
+
+    The scaling-book recipe for optimizer-state sharding: Adam's ``mu``/``nu``
+    moments (and any other per-parameter state) are pure elementwise consumers
+    of the gradient, so they never need to be replicated — each data-parallel
+    device can own 1/dp of every moment tensor, XLA reduce-scatters the
+    gradient into that layout for the update and all-gathers only the updated
+    *parameters* back out. Memory for Adam state drops ~dp×; the collective
+    volume is the same as the plain all-reduce it replaces (reduce-scatter +
+    all-gather == all-reduce).
+
+    Rules: start from the TP rules (``param_shardings`` — the moments mirror
+    the parameter tree, so the same path-keyed specs apply), then shard each
+    leaf's first still-replicated dimension that divides by the data-axis
+    size over ``"data"``. Scalars (Adam's ``count``) and indivisible leaves
+    stay replicated. The reference has no distributed training at all
+    (SURVEY.md §2 C26-C28); this is the TPU-native scaling capability on top.
+    """
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    dp = axis_sizes.get("data", 1)
+    base = param_shardings(opt_state, mesh)
+
+    def widen(leaf, s):
+        if not hasattr(leaf, "ndim") or leaf.ndim < 1 or dp == 1:
+            return s
+        spec = list(s.spec) + [None] * (leaf.ndim - len(s.spec))
+        for d in range(leaf.ndim):
+            if spec[d] is None and leaf.shape[d] % dp == 0 \
+                    and leaf.shape[d] >= dp:
+                spec[d] = "data"
+                return NamedSharding(mesh, P(*spec))
+        return s
+
+    return jax.tree.map(
+        widen, opt_state, base,
+        is_leaf=lambda x: hasattr(x, "ndim")
+        or not isinstance(x, (dict, list, tuple)))
+
+
+def shard_opt_state(opt_state, mesh: Mesh, *, zero1: bool = False):
+    """Place the optimizer state onto the mesh: TP rules, plus ZeRO-1
+    data-axis sharding of the moments when ``zero1`` (config.zero1)."""
+    if not zero1:
+        return shard_params(opt_state, mesh)
+    shardings = zero1_shardings(opt_state, mesh)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, s) if hasattr(x, "ndim") else x,
+        opt_state, shardings,
+        is_leaf=lambda x: hasattr(x, "ndim")
+        or not isinstance(x, (dict, list, tuple)))
+
+
 # ------------------------------------------------------- sequence parallelism
 
 def sp_greedy_decode(params, model_state, mc, batch, mesh: Mesh, *,

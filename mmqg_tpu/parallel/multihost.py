@@ -107,10 +107,67 @@ def _local_row_block(sharding, global_rows: int):
     return start, stop
 
 
+def local_row_range(mesh, global_rows: int) -> tuple:
+    """[start, stop) of the global batch rows THIS process contributes under
+    batch-over-data sharding on ``mesh``.
+
+    This is the contract a sharded loader needs to materialise only its own
+    rows (data/streaming.py ``local_rows``): ``assemble_global_batch`` takes
+    exactly this block from each process, so media payloads for other
+    processes' rows never have to leave their disks. Single-process:
+    (0, global_rows)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    if jax.process_count() == 1:
+        return 0, global_rows
+    return _local_row_block(NamedSharding(mesh, PartitionSpec("data")),
+                            global_rows)
+
+
+def loader_local_rows(mesh, batch_size: int) -> Optional[tuple]:
+    """``local_rows`` a sharded loader should pack for a ``batch_size``-row
+    host batch that will go through ``pad_and_shard_batch`` on ``mesh``.
+
+    The batch is padded up to a data-axis multiple before sharding, so the
+    row block is computed on the PADDED size and clipped back to the real
+    batch (padded rows are synthesized zeros — never loaded from disk).
+    None when every row should be loaded (single-process or no mesh)."""
+    import jax
+
+    if mesh is None or jax.process_count() == 1:
+        return None
+    dp = mesh.devices.shape[0]
+    padded = -(-batch_size // dp) * dp
+    lo, hi = local_row_range(mesh, padded)
+    return (min(lo, batch_size), min(hi, batch_size))
+
+
+def global_max_int(value: int) -> int:
+    """Max of a host-side integer across processes (one tiny collective over
+    DCN/gloo); identity single-process.
+
+    Host-side COMPILE decisions must be identical on every process or their
+    programs (and therefore their collectives) diverge and the runtime
+    deadlocks. With per-process sharded loading each process only sees its
+    own rows' AV lengths, so bucket caps (Trainer._step_for) reduce the
+    local need through this before choosing a step variant."""
+    import jax
+
+    if jax.process_count() == 1:
+        return int(value)
+    from jax.experimental import multihost_utils
+    arr = multihost_utils.process_allgather(np.asarray([int(value)], np.int64))
+    return int(np.max(arr))
+
+
 def assemble_global_batch(batch: Dict[str, Any], mesh) -> Dict[str, Any]:
-    """Multi-process replacement for ``shard_batch``: every process passes
-    the SAME full host batch (deterministic loader order); each contributes
+    """Multi-process replacement for ``shard_batch``: every process passes a
+    full-shape host batch (deterministic loader order); each contributes
     only its own row block and the result is one global jax.Array per field.
+    Only the ``local_row_range`` block of each array need hold real data —
+    a sharded loader (data/streaming.py ``local_rows``) leaves the other
+    rows zeroed and they never reach a device.
 
     Single-process it defers to plain ``shard_batch`` (identical layout), so
     callers can use it unconditionally.
@@ -159,6 +216,36 @@ def shard_params_global(params, mesh):
 
     return jax.tree.map(
         put, params, shardings,
+        is_leaf=lambda x: hasattr(x, "ndim")
+        or not isinstance(x, (dict, list, tuple)))
+
+
+def place_global(tree, shardings):
+    """Place a host-resident pytree onto arbitrary (possibly cross-process)
+    ``shardings`` — the general form of ``shard_params_global``, needed when
+    a leaf's shards span processes (ZeRO-1 optimizer moments over a
+    cross-host data axis: parallel/mesh.zero1_shardings). Each process
+    fulfils its addressable shards from its full host copy via
+    ``jax.make_array_from_callback``; single-process it is a plain
+    device_put."""
+    import jax
+
+    if jax.process_count() == 1:
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, s) if hasattr(x, "ndim") else x,
+            tree, shardings,
+            is_leaf=lambda x: hasattr(x, "ndim")
+            or not isinstance(x, (dict, list, tuple)))
+
+    def put(x, s):
+        if not hasattr(x, "ndim"):
+            return x
+        host = np.asarray(x)
+        return jax.make_array_from_callback(np.shape(host), s,
+                                            lambda idx: host[idx])
+
+    return jax.tree.map(
+        put, tree, shardings,
         is_leaf=lambda x: hasattr(x, "ndim")
         or not isinstance(x, (dict, list, tuple)))
 

@@ -96,7 +96,8 @@ def batch_arrays(batch: Batch) -> Dict[str, np.ndarray]:
 def make_train_step(mc: qg_model.ModelConfig, optimizer, *,
                     use_pallas: bool = True, dtype=jnp.bfloat16,
                     audio_cap=None, frames_cap=None, accum_steps: int = 1,
-                    donate: bool = True):
+                    donate: bool = True, sp_mesh=None,
+                    state_shardings: Optional[Dict[str, Any]] = None):
     """``audio_cap``/``frames_cap``: static AV-length buckets (see
     qg_model.loss_fn) — the encoders skip guaranteed-padding slots whose
     gradients are identically zero. One compiled variant per bucket pair.
@@ -125,18 +126,37 @@ def make_train_step(mc: qg_model.ModelConfig, optimizer, *,
     full batch exceeds a compile/memory ceiling — this backend's remote
     compiler rejects the trimodal step at B=128, but B=64 x 2 accumulated
     compiles and runs (PERF.md training table)."""
+    # training-side sequence parallelism: keep the context axis of the text
+    # attention memory sharded over the model axis through the decode AND
+    # its backward (config.sequence_parallel_train; see loss_fn docstring)
+    mem_constraint = None
+    if sp_mesh is not None:
+        from mmqg_tpu.parallel.mesh import sequence_constraint
+        mem_constraint = sequence_constraint(sp_mesh)
+
     def grads_and_aux(params, model_state, mb, rng_):
         def lf(p):
             return qg_model.loss_fn(
                 p, model_state, mc, mb, train=True,
                 dropout_rng=rng_, use_pallas=use_pallas, dtype=dtype,
-                audio_cap=audio_cap, frames_cap=frames_cap)
+                audio_cap=audio_cap, frames_cap=frames_cap,
+                mem_constraint=mem_constraint)
         return jax.value_and_grad(lf, has_aux=True)(params)
 
     def finish(train_state, grads, model_state, metrics):
         updates, opt_state = optimizer.update(
             grads, train_state["opt_state"], train_state["params"])
         params = optax.apply_updates(train_state["params"], updates)
+        if state_shardings is not None:
+            # ZeRO-1 (config.zero1; parallel/mesh.zero1_shardings): pin the
+            # updated params back to the replicated/TP layout and the new
+            # moments to their data-axis shards — GSPMD then reduce-scatters
+            # the gradient into the update and all-gathers only the params,
+            # instead of all-reducing the gradient onto every device
+            params = lax.with_sharding_constraint(
+                params, state_shardings["params"])
+            opt_state = lax.with_sharding_constraint(
+                opt_state, state_shardings["opt_state"])
         new_state = {
             "params": params,
             "model_state": model_state,
@@ -298,16 +318,38 @@ class Trainer:
                     f"{dp}-way data axis, which is not divisible by "
                     f"grad_accum_steps {self.accum_steps}; pick batch_size "
                     f"so that its data-axis-padded size divides evenly")
+        # training-side SP (config.sequence_parallel_train): only meaningful
+        # with a model axis to shard the context over; silently a no-op
+        # otherwise so one config can serve mesh and single-device runs
+        self.sp_mesh = (mesh if getattr(config, "sequence_parallel_train",
+                                        False)
+                        and mesh is not None
+                        and mesh.devices.shape[1] > 1 else None)
+        # ZeRO-1 optimizer-state sharding (config.zero1): needs a data axis
+        # to shard the moments over; silently a no-op otherwise
+        self.zero1 = (getattr(config, "zero1", False) and mesh is not None
+                      and mesh.devices.shape[0] > 1)
         rng = jax.random.PRNGKey(config.seed)
         self.rng, init_rng = jax.random.split(rng)
         self.train_state = init_train_state(init_rng, mc, emb_weights,
                                             self.optimizer)
+        self._state_shardings = None
+        if self.zero1:
+            from mmqg_tpu.parallel.mesh import (param_shardings,
+                                                zero1_shardings)
+            self._state_shardings = {
+                "params": param_shardings(self.train_state["params"], mesh),
+                "opt_state": zero1_shardings(self.train_state["opt_state"],
+                                             mesh),
+            }
         if mesh is not None:
             self.train_state = self._place_on_mesh(self.train_state)
         self.train_step = make_train_step(mc, self.optimizer,
                                           use_pallas=self.use_pallas,
                                           accum_steps=self.accum_steps,
-                                          donate=self.donate)
+                                          donate=self.donate,
+                                          sp_mesh=self.sp_mesh,
+                                          state_shardings=self._state_shardings)
         # bucketed variants — skip padded AV slots in training just like
         # serving does; gradients are unchanged (loss_fn doc). Granularity is
         # shared with serving's decode._bucket; the measured A/B
@@ -339,15 +381,21 @@ class Trainer:
         The ``_global`` placement helpers are identical single-process and
         assemble from per-process copies when the mesh spans hosts
         (parallel/multihost.py)."""
-        from mmqg_tpu.parallel.multihost import (replicate_global,
+        from mmqg_tpu.parallel.multihost import (place_global,
+                                                 replicate_global,
                                                  shard_params_global)
 
+        if self.zero1:
+            opt_state = place_global(train_state["opt_state"],
+                                     self._state_shardings["opt_state"])
+        else:
+            opt_state = shard_params_global(train_state["opt_state"],
+                                            self.mesh)
         return {
             "params": shard_params_global(train_state["params"], self.mesh),
             "model_state": replicate_global(train_state["model_state"],
                                             self.mesh),
-            "opt_state": shard_params_global(train_state["opt_state"],
-                                             self.mesh),
+            "opt_state": opt_state,
             "step": replicate_global(train_state["step"], self.mesh),
         }
 
@@ -364,23 +412,49 @@ class Trainer:
         g = self.av_bucket_granularity
         bucket = lambda need: DEC._bucket(  # noqa: E731
             min(max(need, 1), av), av, granularity=g)
-        fcap = bucket(int(np.max(arrays["frames_len"])))
-        acap = None
-        if self.mc.mode == "trimodal":
-            acap = bucket(DEC.audio_examples_needed(self.mc,
-                                                    arrays["audio_len"]))
+        fneed = int(np.max(arrays["frames_len"]))
+        aneed = (DEC.audio_examples_needed(self.mc, arrays["audio_len"])
+                 if self.mc.mode == "trimodal" else None)
+        if jax.process_count() > 1:
+            # per-process sharded loaders only see their own rows' lengths;
+            # the cap (a COMPILE decision) must match on every process or
+            # their collectives diverge and the runtime deadlocks
+            from mmqg_tpu.parallel.multihost import global_max_int
+            fneed = global_max_int(fneed)
+            if aneed is not None:
+                aneed = global_max_int(aneed)
+        fcap = bucket(fneed)
+        acap = None if aneed is None else bucket(aneed)
         key = (acap, fcap)
         if key not in self._bucketed_steps:
             self._bucketed_steps[key] = make_train_step(
                 self.mc, self.optimizer, use_pallas=self.use_pallas,
                 audio_cap=acap, frames_cap=fcap,
-                accum_steps=self.accum_steps, donate=self.donate)
+                accum_steps=self.accum_steps, donate=self.donate,
+                sp_mesh=self.sp_mesh,
+                state_shardings=self._state_shardings)
         return self._bucketed_steps[key]
 
     def run_epoch(self, epoch: int) -> float:
         bs = self.config.batch_size
         total, n = 0.0, 0
         rng_np = np.random.default_rng(self.config.seed + epoch)
+        # Deferred metric reads: float(loss) is a device->host sync — ~30 ms
+        # round-trip per step on a remote-tunnel backend — that would
+        # serialise host-side batch prep with device compute. Holding a
+        # 2-step lag keeps the device queue fed (next batch packs + ships
+        # while the device still runs) without queueing a whole epoch of
+        # in-flight input buffers. Measured: PERF.md "Trainer epoch overhead".
+        from collections import deque
+        pending = deque()  # (device scalar, batch size)
+
+        def drain(k: int):
+            nonlocal total, n
+            while len(pending) > k:
+                loss, size = pending.popleft()
+                total += float(loss) * size
+                n += size
+
         for i, batch in enumerate(
                 self.train_ds.batches(bs, shuffle=True, rng=rng_np)):
             self.rng, step_rng = jax.random.split(self.rng)
@@ -395,6 +469,7 @@ class Trainer:
             if (self.profile_dir and not self._profiled
                     and id(step_fn) in self._steps_used):
                 from mmqg_tpu.utils import profiling
+                drain(0)  # the trace must capture one step, not the backlog
                 with profiling.trace(self.profile_dir):
                     with profiling.annotate("train_step"):
                         self.train_state, metrics = step_fn(
@@ -405,8 +480,9 @@ class Trainer:
                 self.train_state, metrics = step_fn(
                     self.train_state, arrays, step_rng)
             self._steps_used.add(id(step_fn))
-            total += float(metrics["loss"]) * batch.size
-            n += batch.size
+            pending.append((metrics["loss"], batch.size))
+            drain(2)
+        drain(0)
         return total / max(n, 1)
 
     def validate(self) -> Dict[str, float]:
@@ -514,11 +590,19 @@ class Trainer:
 
     # -------------------------------------------------------- persistence
     def save(self, alias: str, epoch: int) -> None:
-        from mmqg_tpu.parallel.multihost import is_primary
+        from mmqg_tpu.parallel.multihost import is_primary, to_host
+        state = self.train_state
+        if jax.process_count() > 1 and self.zero1:
+            # ZeRO-1 moments are sharded ACROSS processes — gathering them
+            # is a collective, so every process must run it (before the
+            # primary-only return below). Non-zero1 multihost state is
+            # replicated per host and needs no gather.
+            state = jax.tree.map(
+                lambda x: to_host(x) if hasattr(x, "ndim") else x, state)
         if not is_primary():
             return  # multi-host: process 0 owns the (shared) filesystem
         ckpt.save_checkpoint(
-            self.config.checkpoint_dir, alias, self.train_state,
+            self.config.checkpoint_dir, alias, state,
             metadata={"epoch": epoch, "best_val": self.best_val,
                       "best_epoch": self.best_epoch,
                       "mode": self.mc.mode, "n_vocab": self.mc.n_vocab},

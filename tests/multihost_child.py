@@ -99,6 +99,78 @@ def main() -> int:
     gathered = to_host(sbatch["context_ids"])
     np.testing.assert_array_equal(gathered, batch["context_ids"])
 
+    # --- per-process SHARDED loading: each process packs media only for its
+    # own row block (StreamingLoader local_rows); the assembled global batch
+    # must still carry every row's real media — each taken from its owner.
+    from mmqg_tpu.data.streaming import StreamingLoader
+    from mmqg_tpu.parallel.multihost import (
+        global_max_int, loader_local_rows, local_row_range)
+
+    B = 8
+    lo, hi = local_row_range(mesh, B)
+    assert (lo, hi) == ((0, 4) if pid == 0 else (4, 8)), (lo, hi)
+    assert loader_local_rows(mesh, B) == (lo, hi)
+    # non-divisible batch: the range is computed on the padded size and
+    # clipped to the real batch (padded rows are synthesized, never loaded)
+    assert loader_local_rows(mesh, 6) == ((0, 4) if pid == 0 else (4, 6))
+    assert loader_local_rows(None, B) is None
+    sharded_ld = StreamingLoader(cfg, cfg.train_file, batch_size=B,
+                                 local_rows=(lo, hi))
+    eager_full = QGDataset(cfg, cfg.train_file)  # ground truth: all media
+    part = batch_arrays(next(sharded_ld.batches()))
+    want = batch_arrays(next(eager_full.batches(B)))
+    # this process really skipped the foreign block's media
+    flo, fhi = (4, 8) if pid == 0 else (0, 4)
+    assert not part["frames"][flo:fhi].any()
+    assert not part["audio_pcm"][flo:fhi].any()
+    gbatch = pad_and_shard_batch(part, mesh)
+    np.testing.assert_array_equal(to_host(gbatch["frames"]), want["frames"])
+    np.testing.assert_array_equal(to_host(gbatch["frames_len"]),
+                                  want["frames_len"])
+    np.testing.assert_array_equal(to_host(gbatch["audio_len"]),
+                                  want["audio_len"])
+    np.testing.assert_allclose(to_host(gbatch["audio_pcm"]),
+                               want["audio_pcm"], atol=1)
+
+    # host-side compile decisions reduce through global_max_int so bucket
+    # caps cannot diverge between processes that see different rows
+    assert global_max_int(3 if pid == 0 else 7) == 7
+
+    # --- ZeRO-1 across processes: the moments shard over the CROSS-HOST
+    # data axis (place_global's make_array_from_callback path), the step
+    # reduce-scatters the gradient into the update, and gathering the
+    # sharded moments back (the checkpoint path, Trainer.save) reproduces
+    # the replicated step's moments.
+    from mmqg_tpu.parallel.mesh import param_shardings, zero1_shardings
+    from mmqg_tpu.parallel.multihost import place_global
+
+    shardings_z = {"params": param_shardings(ts_host["params"], mesh),
+                   "opt_state": zero1_shardings(ts_host["opt_state"], mesh)}
+    opt_z = place_global(ts_host["opt_state"], shardings_z["opt_state"])
+    assert any(hasattr(x, "is_fully_addressable")
+               and not x.is_fully_addressable
+               for x in jax.tree.leaves(opt_z)), "no cross-process shards"
+    ts_z = {
+        "params": shard_params_global(ts_host["params"], mesh),
+        "model_state": replicate_global(ts_host["model_state"], mesh),
+        "opt_state": opt_z,
+        "step": replicate_global(ts_host["step"], mesh),
+    }
+    step_z = make_train_step(mc, optimizer, use_pallas=False,
+                             state_shardings=shardings_z)
+    new_z, metrics_z = step_z(ts_z, sbatch, jax.random.PRNGKey(1))
+    loss_z = float(metrics_z["loss"])
+    assert abs(loss_z - step_loss) <= 1e-4 * abs(step_loss), (
+        loss_z, step_loss)
+    mu_r = [x for x in jax.tree.leaves(new_ts["opt_state"])
+            if hasattr(x, "ndim") and x.ndim >= 2]
+    mu_z = [x for x in jax.tree.leaves(new_z["opt_state"])
+            if hasattr(x, "ndim") and x.ndim >= 2]
+    assert len(mu_r) == len(mu_z) and mu_r
+    for a, b in zip(mu_r, mu_z):
+        np.testing.assert_allclose(to_host(b), to_host(a),
+                                   rtol=1e-4, atol=1e-7)
+
     print(f"MULTIHOST_OK pid={pid} primary={is_primary()} "
           f"rel_loss={rel_loss:.2e} rel_gnorm={rel_gnorm:.2e} "
           f"step_loss={step_loss:.4f}", flush=True)

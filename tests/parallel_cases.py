@@ -137,6 +137,206 @@ def test_sequence_parallel_constraint(setup):
     np.testing.assert_array_equal(toks_sp, toks_ref)
 
 
+def test_train_step_sequence_parallel_matches(setup):
+    """TRAINING-side sequence parallelism (config.sequence_parallel_train):
+    with the context axis of the text attention memory sharded over the
+    model axis (loss_fn mem_constraint), gradients must equal the unsharded
+    single-device gradients — XLA inserts the gathers in the forward and the
+    matching reduce-scatters in the backward — and the full donated SP train
+    step must execute. Serving-side SP equality lives in
+    test_sequence_parallel_constraint; this is its train-step analogue
+    (SURVEY.md §5 long-context)."""
+    from mmqg_tpu.parallel.mesh import sequence_constraint
+
+    config, mc, optimizer, fresh_ts, batch = setup
+    ts = fresh_ts()
+    grads = _grads_fn(mc)
+    loss1, g1 = grads(ts["params"], ts["model_state"], batch)
+    g1 = jax.tree.map(np.asarray, g1)
+
+    mesh = make_mesh((2, 4))  # context 12 % model axis 4 == 0
+    constrain = sequence_constraint(mesh)
+
+    @jax.jit
+    def grads_sp(params, model_state, b):
+        def lf(p):
+            return qg_model.loss_fn(p, model_state, mc, b, train=True,
+                                    dropout_rng=None, use_pallas=False,
+                                    dtype=jnp.float32,
+                                    mem_constraint=constrain)
+        (loss, _), g = jax.value_and_grad(lf, has_aux=True)(params)
+        return loss, g
+
+    ts_sharded = {
+        "params": shard_params(ts["params"], mesh),
+        "model_state": jax.tree.map(jnp.asarray, ts["model_state"]),
+        "opt_state": shard_params(ts["opt_state"], mesh),
+        "step": ts["step"],
+    }
+    sbatch = shard_batch(batch, mesh)
+    lossN, gN = grads_sp(ts_sharded["params"], ts_sharded["model_state"],
+                         sbatch)
+    assert float(loss1) == pytest.approx(float(lossN), rel=1e-3)
+    gnorm = float(np.sqrt(sum(
+        float(np.linalg.norm(np.asarray(x, np.float64))) ** 2
+        for x in jax.tree.leaves(g1))))
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(gN)):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        err = np.linalg.norm(b - a)
+        assert err <= 1e-3 * np.linalg.norm(a) + 1e-6 * gnorm, (
+            f"leaf shape {a.shape}: norm error {err:.2e}")
+
+    step_fn = make_train_step(mc, optimizer, use_pallas=False, sp_mesh=mesh)
+    new_ts, metrics = step_fn(ts_sharded, sbatch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["grad_norm"]))
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_zero1_optimizer_sharding_matches(setup, mesh_shape):
+    """ZeRO-1 (config.zero1; parallel/mesh.zero1_shardings): with the Adam
+    moments sharded 1/dp over the data axis, one full optimizer update must
+    equal the replicated-state update — GSPMD reduce-scatters the gradient
+    into the sharded moment update and all-gathers only the updated params
+    (reduce-scatter + all-gather == the all-reduce it replaces). Also proves
+    the memory claim: each device holds 1/dp of every divisible moment."""
+    from mmqg_tpu.parallel.mesh import shard_opt_state, zero1_shardings
+    import optax
+
+    config, mc, optimizer, fresh_ts, batch = setup
+    dp = mesh_shape[0]
+
+    def update(ts, b, constraints=None):
+        @jax.jit
+        def go(params, model_state, opt_state, bb):
+            def lf(p):
+                return qg_model.loss_fn(p, model_state, mc, bb, train=True,
+                                        dropout_rng=None, use_pallas=False,
+                                        dtype=jnp.float32)
+            (loss, _), g = jax.value_and_grad(lf, has_aux=True)(params)
+            updates, new_opt = optimizer.update(g, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            if constraints is not None:
+                new_params = jax.lax.with_sharding_constraint(
+                    new_params, constraints["params"])
+                new_opt = jax.lax.with_sharding_constraint(
+                    new_opt, constraints["opt_state"])
+            return loss, new_params, new_opt
+        return go(ts["params"], ts["model_state"], ts["opt_state"], b)
+
+    ts = fresh_ts()
+    p0 = jax.tree.map(np.asarray, ts["params"])
+    loss1, p1, o1 = update(ts, batch)
+    p1 = jax.tree.map(np.asarray, p1)
+    o1 = jax.tree.map(np.asarray, o1)
+
+    mesh = make_mesh(mesh_shape)
+    ts2 = fresh_ts()
+    shardings = {"params": param_shardings(ts2["params"], mesh),
+                 "opt_state": zero1_shardings(ts2["opt_state"], mesh)}
+    opt_sharded = shard_opt_state(ts2["opt_state"], mesh, zero1=True)
+    # the moments really live 1/dp per device: count the leaves sharded over
+    # "data" (a dim already on "model" under TP stays there) and verify each
+    # per-device shard is 1/dp of the array
+    checked = 0
+    for leaf in jax.tree.leaves(opt_sharded):
+        if not hasattr(leaf, "ndim") or leaf.ndim < 1:
+            continue
+        if "data" in str(leaf.sharding.spec):
+            shard = leaf.addressable_shards[0].data
+            assert shard.size * dp <= leaf.size, (leaf.shape, shard.shape)
+            checked += 1
+    assert checked >= 8  # Adam mu+nu over the real weight matrices
+
+    ts_sharded = {
+        "params": shard_params(ts2["params"], mesh),
+        "model_state": jax.tree.map(jnp.asarray, ts2["model_state"]),
+        "opt_state": opt_sharded,
+        "step": ts2["step"],
+    }
+    sbatch = shard_batch(batch, mesh)
+    lossN, pN, oN = update(ts_sharded, sbatch, constraints=shardings)
+    assert float(loss1) == pytest.approx(float(lossN), rel=1e-3)
+    # The load-bearing equality is the MOMENTS: mu/nu are linear/quadratic in
+    # the gradient, so the reduce-scattered update must match the replicated
+    # one to reduction-order noise (same tolerance discipline as the grad
+    # tests above; a dropped data shard is ~0.125 off).
+    onorm = float(np.sqrt(sum(
+        float(np.linalg.norm(np.asarray(x, np.float64))) ** 2
+        for x in jax.tree.leaves(o1) if np.ndim(x))))
+    for a, b in zip(jax.tree.leaves(o1), jax.tree.leaves(oN)):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        if not a.ndim:
+            continue
+        err = np.linalg.norm(b - a)
+        assert err <= 1e-3 * np.linalg.norm(a) + 1e-6 * onorm, (
+            f"moment leaf {a.shape}: norm error {err:.2e}")
+    # Params: Adam's step-1 update is ~sign(g), so elements whose gradient
+    # sits inside the reduction-noise band can flip — compare the applied
+    # update with a tolerance wide enough for isolated flips (each ~2*lr)
+    # but far below any wrong-collective failure (O(update norm)).
+    for a0, a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1),
+                        jax.tree.leaves(pN)):
+        upd = np.asarray(a, np.float64) - np.asarray(a0, np.float64)
+        err = np.linalg.norm(np.asarray(b, np.float64) - np.asarray(a))
+        assert err <= 0.15 * np.linalg.norm(upd) + 5e-7, (
+            f"param leaf {np.shape(a)}: update norm error {err:.2e} vs "
+            f"update {np.linalg.norm(upd):.2e}")
+
+    # the full donated Trainer-style step executes with ZeRO-1 shardings
+    step_fn = make_train_step(mc, optimizer, use_pallas=False,
+                              state_shardings=shardings)
+    new_ts, metrics = step_fn(ts_sharded, sbatch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    # the step's output moments keep their ZeRO-1 shards (the constraint in
+    # make_train_step.finish, not an accident of GSPMD propagation)
+    assert any("data" in str(x.sharding.spec)
+               for x in jax.tree.leaves(new_ts["opt_state"])
+               if hasattr(x, "ndim") and x.ndim >= 1)
+
+
+def test_trainer_zero1_matches_single_device(tiny_config, tiny_corpus,
+                                             tmp_path):
+    """The Trainer's config.zero1 path (CLI --zero1) end-to-end: epoch loss
+    matches single-device training and the checkpoint->resume round trip
+    re-places the moments into their ZeRO-1 shards."""
+    from mmqg_tpu.data.dataset import QGDataset
+    from mmqg_tpu.train import Trainer
+
+    def build(mesh, cfg):
+        train_ds = QGDataset(cfg, cfg.train_file, load_media=False)
+        val_ds = QGDataset(cfg, cfg.val_file, load_media=False)
+        emb = np.load(cfg.weights_matrix_file).astype(np.float32)
+        mc = qg_model.ModelConfig.from_config(
+            cfg, n_vocab=len(train_ds.vocab), mode="text")
+        return Trainer(cfg, mc, emb, train_ds, val_ds, mesh=mesh,
+                       log_fn=lambda *a, **k: None)
+
+    loss_1 = build(None, tiny_config).run_epoch(0)
+    zcfg = tiny_config.replace(zero1=True, output_path=tmp_path / "out")
+    zcfg.ensure_dirs()
+    z = build(make_mesh((8, 1)), zcfg)
+    assert z.zero1
+    loss_z = z.run_epoch(0)
+    assert loss_1 == pytest.approx(loss_z, rel=2e-2)
+
+    def data_sharded(state):
+        return any("data" in str(x.sharding.spec)
+                   for x in jax.tree.leaves(state["opt_state"])
+                   if hasattr(x, "ndim") and x.ndim >= 1)
+
+    assert data_sharded(z.train_state)
+    z.save("last", 0)
+    z2 = build(make_mesh((8, 1)), z.config)
+    assert z2.resume("last")
+    for a, b in zip(jax.tree.leaves(z.train_state),
+                    jax.tree.leaves(z2.train_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert data_sharded(z2.train_state)
+
+
 def test_trainer_data_parallel_matches_single_device(tiny_config, tiny_corpus):
     """The Trainer's mesh path (CLI --data-parallel) must reproduce
     single-device training: same epoch loss, working validate/BLEU, and

@@ -49,6 +49,34 @@ def test_streaming_shuffle_and_tail_padding(tiny_config, tiny_corpus):
         not np.array_equal(order[:n], plain[:n])
 
 
+def test_local_rows_packs_only_own_block(tiny_config, tiny_corpus):
+    """Sharded loading (multihost): a loader given local_rows=(lo, hi) must
+    fill media ONLY for that block — its rows bit-equal to the full loader's,
+    every other row's media zero (those rows are contributed by the process
+    that owns them; parallel/multihost.py assemble_global_batch)."""
+    full = StreamingLoader(tiny_config, tiny_config.train_file, batch_size=4)
+    part = StreamingLoader(tiny_config, tiny_config.train_file, batch_size=4,
+                           local_rows=(1, 3))
+    for fb, pb in zip(full.batches(), part.batches()):
+        # text fields stay full on every process (host-side BLEU/buckets)
+        np.testing.assert_array_equal(fb.context_ids, pb.context_ids)
+        np.testing.assert_array_equal(fb.target_ids, pb.target_ids)
+        # owned block: identical media
+        np.testing.assert_array_equal(fb.frames[1:3], pb.frames[1:3])
+        np.testing.assert_array_equal(fb.audio_pcm[1:3], pb.audio_pcm[1:3])
+        np.testing.assert_array_equal(fb.frames_len[1:3], pb.frames_len[1:3])
+        np.testing.assert_array_equal(fb.audio_len[1:3], pb.audio_len[1:3])
+        # foreign rows: never loaded (frames_len floors at 1 by contract)
+        assert not pb.frames[0].any() and not pb.frames[3].any()
+        assert not pb.audio_pcm[0].any() and not pb.audio_pcm[3].any()
+        assert pb.audio_len[0] == pb.audio_len[3] == 0
+        assert pb.frames_len[0] == pb.frames_len[3] == 1
+
+    with pytest.raises(ValueError):
+        StreamingLoader(tiny_config, tiny_config.train_file, batch_size=4,
+                        local_rows=(2, 5))
+
+
 def test_buffers_rotate_not_alias(tiny_config, tiny_corpus):
     """Consecutive yielded batches must use different media buffers (the
     consumer of batch N holds it while N+1 packs)."""
