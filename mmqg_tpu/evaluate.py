@@ -53,11 +53,15 @@ def evaluate(
     already be placed (parallel.shard_params); each batch is padded to the
     data axis and sharded batch-over-data (padded rows produce extra token
     rows that the zip below never reads)."""
+    from mmqg_tpu.utils.pipelining import pipelined
+
     rng = jax.random.PRNGKey(seed)
     predictions: List[Dict] = []
     sums = {k: 0.0 for k in M.BLEU_WEIGHTS}
     n_total = 0
-    for batch in dataset.batches(batch_size):
+
+    def dispatch(batch):
+        nonlocal rng
         arrays = batch_arrays(batch)
         has_av = mc.mode in ("text_video", "trimodal")
         cap = (DEC.audio_bucket(mc, arrays["audio_len"])
@@ -67,16 +71,18 @@ def evaluate(
             from mmqg_tpu.parallel import pad_and_shard_batch
             arrays = pad_and_shard_batch(arrays, mesh)
         if strategy == "beam":
-            toks = DEC.beam_decode_batch(
+            return DEC.beam_decode_batch(
                 params, model_state, mc, arrays, max_len=pred_max_len,
                 beam_size=beam_size, use_pallas=use_pallas,
                 audio_cap=cap, frames_cap=fcap)
-        else:
-            rng, k = jax.random.split(rng)
-            toks = DEC.decode_batch(
-                params, model_state, mc, arrays, k, strategy=strategy,
-                max_len=pred_max_len, k=topk, p=topp,
-                use_pallas=use_pallas, audio_cap=cap, frames_cap=fcap)
+        rng, k = jax.random.split(rng)
+        return DEC.decode_batch(
+            params, model_state, mc, arrays, k, strategy=strategy,
+            max_len=pred_max_len, k=topk, p=topp,
+            use_pallas=use_pallas, audio_cap=cap, frames_cap=fcap)
+
+    def finalize(toks, batch):
+        nonlocal n_total
         word_rows = DEC.tokens_to_words(np.asarray(toks),
                                         dataset.index_to_word)
         for words, q, qid, ok in zip(word_rows, batch.questions,
@@ -92,6 +98,12 @@ def evaluate(
                 "pred_question": " ".join(words),
             })
             n_total += 1
+
+    # deferred device->host reads (utils/pipelining.py): the host scores
+    # batch i's BLEU while the device decodes i+1/i+2 — the serial-synced
+    # vs queued gap is ~24 ms/batch on this backend (bench.py)
+    for _ in pipelined(dataset.batches(batch_size), dispatch, finalize):
+        pass
     avgs = {k: v / max(n_total, 1) for k, v in sums.items()}
     return predictions, avgs
 

@@ -486,29 +486,42 @@ class Trainer:
         return total / max(n, 1)
 
     def validate(self) -> Dict[str, float]:
+        from mmqg_tpu.parallel.multihost import to_host
+        from mmqg_tpu.utils.pipelining import pipelined
+
         bs = self.config.eval_batch_size
         loss_sum, n = 0.0, 0
         bleu_sums = {k: 0.0 for k in M.BLEU_WEIGHTS}
-        for batch in self.val_ds.batches(bs):
+
+        def dispatch(batch):
             arrays = batch_arrays(batch)
             if self.mesh is not None:
                 from mmqg_tpu.parallel import pad_and_shard_batch
                 arrays = pad_and_shard_batch(arrays, self.mesh)
-            per_sample, toks = self.validate_step(
+            return self.validate_step(
                 self.train_state["params"], self.train_state["model_state"],
                 arrays)
+
+        def finalize(out, batch):
             # trim mesh-padding rows (output row order is stable); to_host
             # all-gathers across processes when the mesh spans hosts and is
             # a plain np.asarray otherwise
-            from mmqg_tpu.parallel.multihost import to_host
+            per_sample, toks = out
             per_sample = to_host(per_sample)[:len(batch.valid)]
             toks = to_host(toks)[:len(batch.valid)]
-            loss_sum += float(per_sample[batch.valid].sum())
+            loss = float(per_sample[batch.valid].sum())
             suite, k = evaluate_bleu(toks, batch.questions,
                                      self.val_ds.index_to_word, batch.valid)
+            return loss, suite, k, batch.size
+
+        # deferred device->host reads, same discipline as run_epoch: the
+        # host scores batch i's BLEU while the device decodes i+1/i+2
+        for loss, suite, k, size in pipelined(self.val_ds.batches(bs),
+                                              dispatch, finalize):
+            loss_sum += loss
             for key, v in suite.items():
                 bleu_sums[key] += v * k
-            n += batch.size
+            n += size
         out = {"loss": loss_sum / max(n, 1)}
         out.update({k: v / max(n, 1) for k, v in bleu_sums.items()})
         return out
