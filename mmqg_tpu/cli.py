@@ -47,6 +47,12 @@ def train_main(argv: Optional[List[str]] = None) -> None:
                              "data axis (needs --data-parallel); ~dp x less "
                              "optimizer memory, same collective volume; "
                              "sets config zero1")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="FSDP/ZeRO-3: shard the parameters themselves "
+                             "1/dp over the data axis too (implies --zero1; "
+                             "needs --data-parallel); GSPMD all-gathers "
+                             "each weight at its use site — ~dp x less "
+                             "param+optimizer memory; sets config fsdp")
     parser.add_argument("--sequence-parallel", action="store_true",
                         help="training-side SP: shard the context axis of "
                              "the text attention memory over the mesh's "
@@ -113,6 +119,8 @@ def train_main(argv: Optional[List[str]] = None) -> None:
         config = config.replace(sequence_parallel_train=True)
     if args.zero1:
         config = config.replace(zero1=True)
+    if args.fsdp:
+        config = config.replace(fsdp=True)
     config.ensure_dirs()
     load_media = args.mode != "text"
     mesh = None

@@ -109,6 +109,12 @@ class Config:
     #   gradients reduce-scatter into the update, only updated params
     #   all-gather back. ~dp x less optimizer memory at equal collective
     #   volume. Needs a mesh with data axis > 1; no-op otherwise.
+    fsdp: bool = False  # FSDP / ZeRO-3: the PARAMETERS also shard 1/dp over
+    #   the data axis (parallel/mesh.fsdp_shardings; implies zero1 for the
+    #   moments so the layouts align). GSPMD all-gathers each weight at its
+    #   use site and discards it after — ~dp x less parameter+optimizer
+    #   memory for one extra params all-gather per use. Needs a mesh with
+    #   data axis > 1; no-op otherwise.
     sequence_parallel_train: bool = False  # shard the text-memory context
     #   axis over the model axis inside the TRAIN step (mesh.sequence_
     #   constraint — the training analogue of serving's sp_greedy_decode).

@@ -10,8 +10,9 @@ collectives ride DCN (multihost.py).
 """
 
 from mmqg_tpu.parallel.mesh import (  # noqa: F401
-    make_mesh, batch_sharding, pad_and_shard_batch, param_shardings,
-    shard_batch, shard_opt_state, shard_params, zero1_shardings,
+    fsdp_shardings, make_mesh, batch_sharding, pad_and_shard_batch,
+    param_shardings, shard_batch, shard_opt_state, shard_params,
+    shard_params_fsdp, zero1_shardings,
 )
 from mmqg_tpu.parallel.multihost import (  # noqa: F401
     assemble_global_batch, global_max_int, initialize_multihost, is_primary,

@@ -146,30 +146,17 @@ def pad_and_shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     return assemble_global_batch(batch, mesh)
 
 
-# ----------------------------------------------------------- ZeRO-1 (opt state)
+# ------------------------------------------- ZeRO-1 / FSDP (state over "data")
 
-def zero1_shardings(opt_state, mesh: Mesh):
-    """NamedShardings for the optimizer state with ZeRO-1 partitioning.
-
-    The scaling-book recipe for optimizer-state sharding: Adam's ``mu``/``nu``
-    moments (and any other per-parameter state) are pure elementwise consumers
-    of the gradient, so they never need to be replicated — each data-parallel
-    device can own 1/dp of every moment tensor, XLA reduce-scatters the
-    gradient into that layout for the update and all-gathers only the updated
-    *parameters* back out. Memory for Adam state drops ~dp×; the collective
-    volume is the same as the plain all-reduce it replaces (reduce-scatter +
-    all-gather == all-reduce).
-
-    Rules: start from the TP rules (``param_shardings`` — the moments mirror
-    the parameter tree, so the same path-keyed specs apply), then shard each
-    leaf's first still-replicated dimension that divides by the data-axis
-    size over ``"data"``. Scalars (Adam's ``count``) and indivisible leaves
-    stay replicated. The reference has no distributed training at all
-    (SURVEY.md §2 C26-C28); this is the TPU-native scaling capability on top.
-    """
+def _widen_over_data(tree, mesh: Mesh):
+    """Start from the TP rules (``param_shardings``), then shard each leaf's
+    first still-replicated dimension that divides by the data-axis size over
+    ``"data"``. Scalars (Adam's ``count``) and indivisible leaves stay
+    replicated. Shared rule for ZeRO-1 (optimizer moments) and FSDP/ZeRO-3
+    (the parameters themselves) so the two layouts line up leaf-for-leaf."""
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     dp = axis_sizes.get("data", 1)
-    base = param_shardings(opt_state, mesh)
+    base = param_shardings(tree, mesh)
 
     def widen(leaf, s):
         if not hasattr(leaf, "ndim") or leaf.ndim < 1 or dp == 1:
@@ -183,7 +170,53 @@ def zero1_shardings(opt_state, mesh: Mesh):
         return s
 
     return jax.tree.map(
-        widen, opt_state, base,
+        widen, tree, base,
+        is_leaf=lambda x: hasattr(x, "ndim")
+        or not isinstance(x, (dict, list, tuple)))
+
+
+def zero1_shardings(opt_state, mesh: Mesh):
+    """NamedShardings for the optimizer state with ZeRO-1 partitioning.
+
+    The scaling-book recipe for optimizer-state sharding: Adam's ``mu``/``nu``
+    moments (and any other per-parameter state) are pure elementwise consumers
+    of the gradient, so they never need to be replicated — each data-parallel
+    device can own 1/dp of every moment tensor, XLA reduce-scatters the
+    gradient into that layout for the update and all-gathers only the updated
+    *parameters* back out. Memory for Adam state drops ~dp×; the collective
+    volume is the same as the plain all-reduce it replaces (reduce-scatter +
+    all-gather == all-reduce).
+
+    The reference has no distributed training at all (SURVEY.md §2 C26-C28);
+    this is the TPU-native scaling capability on top.
+    """
+    return _widen_over_data(opt_state, mesh)
+
+
+def fsdp_shardings(params, mesh: Mesh):
+    """NamedShardings for FSDP (ZeRO-3-style) parameter sharding.
+
+    The parameters themselves live 1/dp over the data axis (on top of any TP
+    dims) and exist fully only transiently: GSPMD all-gathers each weight at
+    its use site inside the step and discards the gathered copy afterwards,
+    so peak parameter memory per device is ~1/dp + the largest single weight.
+    Gradients arrive reduce-scattered into the same layout, and with the
+    optimizer state sharded identically (``zero1_shardings`` — the same
+    ``_widen_over_data`` rule, so moment and parameter shards align
+    leaf-for-leaf) the update is fully local: this is the ZeRO-3 memory
+    frontier. Trade-off vs ZeRO-1: params all-gather once per USE (fwd + bwd)
+    instead of once per STEP — the standard FSDP bandwidth-for-memory trade;
+    at the reference's ~30M params it is pure capability (config.fsdp /
+    train CLI --fsdp), priced for the scaled regime the TP rules target."""
+    return _widen_over_data(params, mesh)
+
+
+def shard_params_fsdp(params, mesh: Mesh):
+    """Place a parameter pytree onto the mesh FSDP-sharded (1/dp per device)."""
+    shardings = fsdp_shardings(params, mesh)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, s) if hasattr(x, "ndim") else x,
+        params, shardings,
         is_leaf=lambda x: hasattr(x, "ndim")
         or not isinstance(x, (dict, list, tuple)))
 

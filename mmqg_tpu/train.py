@@ -325,20 +325,25 @@ class Trainer:
                                         False)
                         and mesh is not None
                         and mesh.devices.shape[1] > 1 else None)
-        # ZeRO-1 optimizer-state sharding (config.zero1): needs a data axis
-        # to shard the moments over; silently a no-op otherwise
-        self.zero1 = (getattr(config, "zero1", False) and mesh is not None
-                      and mesh.devices.shape[0] > 1)
+        # ZeRO-1 optimizer-state sharding (config.zero1) and FSDP/ZeRO-3
+        # parameter sharding (config.fsdp — implies zero1 so the moment and
+        # parameter shards align leaf-for-leaf): both need a data axis to
+        # shard over; silently a no-op otherwise
+        has_dp = mesh is not None and mesh.devices.shape[0] > 1
+        self.fsdp = getattr(config, "fsdp", False) and has_dp
+        self.zero1 = (getattr(config, "zero1", False) or self.fsdp) and has_dp
         rng = jax.random.PRNGKey(config.seed)
         self.rng, init_rng = jax.random.split(rng)
         self.train_state = init_train_state(init_rng, mc, emb_weights,
                                             self.optimizer)
         self._state_shardings = None
         if self.zero1:
-            from mmqg_tpu.parallel.mesh import (param_shardings,
+            from mmqg_tpu.parallel.mesh import (fsdp_shardings,
+                                                param_shardings,
                                                 zero1_shardings)
+            pshard = fsdp_shardings if self.fsdp else param_shardings
             self._state_shardings = {
-                "params": param_shardings(self.train_state["params"], mesh),
+                "params": pshard(self.train_state["params"], mesh),
                 "opt_state": zero1_shardings(self.train_state["opt_state"],
                                              mesh),
             }
@@ -391,8 +396,13 @@ class Trainer:
         else:
             opt_state = shard_params_global(train_state["opt_state"],
                                             self.mesh)
+        if self.fsdp:
+            params = place_global(train_state["params"],
+                                  self._state_shardings["params"])
+        else:
+            params = shard_params_global(train_state["params"], self.mesh)
         return {
-            "params": shard_params_global(train_state["params"], self.mesh),
+            "params": params,
             "model_state": replicate_global(train_state["model_state"],
                                             self.mesh),
             "opt_state": opt_state,
@@ -606,10 +616,10 @@ class Trainer:
         from mmqg_tpu.parallel.multihost import is_primary, to_host
         state = self.train_state
         if jax.process_count() > 1 and self.zero1:
-            # ZeRO-1 moments are sharded ACROSS processes — gathering them
-            # is a collective, so every process must run it (before the
-            # primary-only return below). Non-zero1 multihost state is
-            # replicated per host and needs no gather.
+            # ZeRO-1 moments (and FSDP params) are sharded ACROSS processes —
+            # gathering them is a collective, so every process must run it
+            # (before the primary-only return below). Non-zero1 multihost
+            # state is replicated per host and needs no gather.
             state = jax.tree.map(
                 lambda x: to_host(x) if hasattr(x, "ndim") else x, state)
         if not is_primary():

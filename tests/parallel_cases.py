@@ -297,6 +297,143 @@ def test_zero1_optimizer_sharding_matches(setup, mesh_shape):
                if hasattr(x, "ndim") and x.ndim >= 1)
 
 
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_fsdp_param_sharding_matches(setup, mesh_shape):
+    """FSDP / ZeRO-3 (config.fsdp; parallel/mesh.fsdp_shardings): with the
+    PARAMETERS themselves (and the moments, which share the widen rule)
+    sharded 1/dp over the data axis, one full optimizer update must equal
+    the replicated-state update — GSPMD all-gathers each weight at its use
+    site inside the step, reduce-scatters its gradient back into the 1/dp
+    layout, and the Adam update is fully local. Also proves the memory
+    claim: each device holds 1/dp of every divisible parameter."""
+    import optax
+
+    from mmqg_tpu.parallel.mesh import (fsdp_shardings, shard_opt_state,
+                                        shard_params_fsdp, zero1_shardings)
+
+    config, mc, optimizer, fresh_ts, batch = setup
+    dp = mesh_shape[0]
+
+    def update(ts, b, constraints=None):
+        @jax.jit
+        def go(params, model_state, opt_state, bb):
+            def lf(p):
+                return qg_model.loss_fn(p, model_state, mc, bb, train=True,
+                                        dropout_rng=None, use_pallas=False,
+                                        dtype=jnp.float32)
+            (loss, _), g = jax.value_and_grad(lf, has_aux=True)(params)
+            updates, new_opt = optimizer.update(g, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            if constraints is not None:
+                new_params = jax.lax.with_sharding_constraint(
+                    new_params, constraints["params"])
+                new_opt = jax.lax.with_sharding_constraint(
+                    new_opt, constraints["opt_state"])
+            return loss, new_params, new_opt
+        return go(ts["params"], ts["model_state"], ts["opt_state"], b)
+
+    ts = fresh_ts()
+    p0 = jax.tree.map(np.asarray, ts["params"])
+    loss1, p1, _ = update(ts, batch)
+    p1 = jax.tree.map(np.asarray, p1)
+
+    mesh = make_mesh(mesh_shape)
+    ts2 = fresh_ts()
+    shardings = {"params": fsdp_shardings(ts2["params"], mesh),
+                 "opt_state": zero1_shardings(ts2["opt_state"], mesh)}
+    params_sharded = shard_params_fsdp(ts2["params"], mesh)
+    # the parameters really live 1/dp per device
+    checked = 0
+    for leaf in jax.tree.leaves(params_sharded):
+        if not hasattr(leaf, "ndim") or leaf.ndim < 1:
+            continue
+        if "data" in str(leaf.sharding.spec):
+            shard = leaf.addressable_shards[0].data
+            assert shard.size * dp <= leaf.size, (leaf.shape, shard.shape)
+            checked += 1
+    assert checked >= 4  # the real weight matrices all divide by dp
+
+    ts_sharded = {
+        "params": params_sharded,
+        "model_state": jax.tree.map(jnp.asarray, ts2["model_state"]),
+        "opt_state": shard_opt_state(ts2["opt_state"], mesh, zero1=True),
+        "step": ts2["step"],
+    }
+    sbatch = shard_batch(batch, mesh)
+    lossN, pN, _ = update(ts_sharded, sbatch, constraints=shardings)
+    assert float(loss1) == pytest.approx(float(lossN), rel=1e-3)
+    # same tolerance discipline as the ZeRO-1 test: Adam's step-1 update is
+    # ~sign(g), so gradient elements inside the reduction-noise band can
+    # flip — compare applied updates, wide enough for isolated flips but far
+    # below any wrong-collective failure
+    for a0, a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1),
+                        jax.tree.leaves(pN)):
+        upd = np.asarray(a, np.float64) - np.asarray(a0, np.float64)
+        err = np.linalg.norm(np.asarray(b, np.float64) - np.asarray(a))
+        assert err <= 0.15 * np.linalg.norm(upd) + 5e-7, (
+            f"param leaf {np.shape(a)}: update norm error {err:.2e} vs "
+            f"update {np.linalg.norm(upd):.2e}")
+
+    # the full donated Trainer-style step executes with FSDP shardings and
+    # its OUTPUT params keep the 1/dp layout (the constraint in
+    # make_train_step.finish, not an accident of GSPMD propagation)
+    step_fn = make_train_step(mc, optimizer, use_pallas=False,
+                              state_shardings=shardings)
+    new_ts, metrics = step_fn(ts_sharded, sbatch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert any("data" in str(x.sharding.spec)
+               for x in jax.tree.leaves(new_ts["params"])
+               if hasattr(x, "ndim") and x.ndim >= 1)
+
+
+def test_trainer_fsdp_matches_single_device(tiny_config, tiny_corpus,
+                                            tmp_path):
+    """The Trainer's config.fsdp path (CLI --fsdp) end-to-end: epoch loss
+    matches single-device training, validate() decodes with the sharded
+    params, and the checkpoint->resume round trip re-places the params into
+    their FSDP shards."""
+    from mmqg_tpu.data.dataset import QGDataset
+    from mmqg_tpu.train import Trainer
+
+    def build(mesh, cfg):
+        train_ds = QGDataset(cfg, cfg.train_file, load_media=False)
+        val_ds = QGDataset(cfg, cfg.val_file, load_media=False)
+        emb = np.load(cfg.weights_matrix_file).astype(np.float32)
+        mc = qg_model.ModelConfig.from_config(
+            cfg, n_vocab=len(train_ds.vocab), mode="text")
+        return Trainer(cfg, mc, emb, train_ds, val_ds, mesh=mesh,
+                       log_fn=lambda *a, **k: None)
+
+    loss_1 = build(None, tiny_config).run_epoch(0)
+    # grad_accum_steps=2 on top: the accumulated scan must run with the
+    # FSDP layout too (text mode, where accumulation is exact)
+    fcfg = tiny_config.replace(fsdp=True, grad_accum_steps=2,
+                               output_path=tmp_path / "out")
+    fcfg.ensure_dirs()
+    f = build(make_mesh((8, 1)), fcfg)
+    assert f.fsdp and f.zero1  # fsdp implies the ZeRO-1 moment sharding
+    assert f.accum_steps == 2
+    loss_f = f.run_epoch(0)
+    assert loss_1 == pytest.approx(loss_f, rel=2e-2)
+
+    def data_sharded(tree):
+        return any("data" in str(x.sharding.spec)
+                   for x in jax.tree.leaves(tree)
+                   if hasattr(x, "ndim") and x.ndim >= 1)
+
+    assert data_sharded(f.train_state["params"])
+    assert data_sharded(f.train_state["opt_state"])
+    val = f.validate()  # greedy decode consumes the FSDP-sharded params
+    assert np.isfinite(val["loss"])
+    f.save("last", 0)
+    f2 = build(make_mesh((8, 1)), f.config)
+    assert f2.resume("last")
+    for a, b in zip(jax.tree.leaves(f.train_state),
+                    jax.tree.leaves(f2.train_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert data_sharded(f2.train_state["params"])
+
+
 def test_trainer_zero1_matches_single_device(tiny_config, tiny_corpus,
                                              tmp_path):
     """The Trainer's config.zero1 path (CLI --zero1) end-to-end: epoch loss
@@ -395,6 +532,87 @@ def test_evaluate_data_parallel_matches_single_device(setup, tiny_config,
                             pred_max_len=4, use_pallas=False, mesh=mesh)
     assert preds1 == predN
     assert bleu1 == bleuN
+
+
+@pytest.fixture(scope="module")
+def trained_pipe(tiny_config, tiny_corpus, tmp_path_factory):
+    """A trained tiny trimodal checkpoint for the serving-side mesh tests
+    (moved here from test_pipeline.py: every test that runs XLA:CPU
+    collectives must live in this isolated child suite — see
+    tests/test_parallel.py's rationale)."""
+    from mmqg_tpu.train import Trainer
+
+    cfg = tiny_config.replace(
+        output_path=tmp_path_factory.mktemp("pipe_mesh") / "results", lr=5e-3)
+    cfg.ensure_dirs()
+    train_ds = QGDataset(cfg, cfg.train_file)
+    val_ds = QGDataset(cfg, cfg.val_file)
+    emb = np.load(cfg.weights_matrix_file).astype(np.float32)
+    mc = qg_model.ModelConfig.from_config(cfg, n_vocab=len(train_ds.vocab),
+                                          mode="trimodal")
+    tr = Trainer(cfg, mc, emb, train_ds, val_ds, log_fn=lambda *a: None)
+    tr.fit(epochs=1)
+    return cfg
+
+
+def test_sharded_serving_matches_single_device(trained_pipe):
+    """Multi-chip DP serving (QGPipeline.shard) on the 8-device virtual mesh
+    must produce exactly the single-device generations, including when the
+    request size (3) doesn't divide the data axis (pad rows are trimmed)."""
+    from mmqg_tpu.pipeline import QGPipeline
+
+    trained = trained_pipe
+    rng = np.random.RandomState(1)
+    frames = rng.randint(0, 256, (2, trained.frame_size, trained.frame_size, 3),
+                         np.uint8)
+    pcm = (rng.randn(trained.audio_sample_rate) * 3000).astype(np.int16)
+    contexts = ["what is the process of the system",
+                "the value of the function is the result",
+                "the model is the system"]
+    frames_in = [frames, None, frames]
+    audio_in = [pcm, None, None]
+
+    ref_pipe = QGPipeline.from_checkpoint(trained, alias="best")
+    ref = {s: ref_pipe.generate(contexts, frames=frames_in, audio=audio_in,
+                                strategy=s) for s in ("greedy", "beam")}
+
+    for shape in ((8, 1), (4, 2)):
+        pipe = QGPipeline.from_checkpoint(trained, alias="best").shard(
+            shape=shape)
+        for strategy in ("greedy", "beam"):
+            out = pipe.generate(contexts, frames=frames_in, audio=audio_in,
+                                strategy=strategy)
+            assert out == ref[strategy], (shape, strategy)
+
+
+def test_data_parallel_evaluate_matches_single_device(trained_pipe):
+    """evaluate(mesh=...) must give the same predictions and BLEU as the
+    single-device path (exercises the --data-parallel CLI flag's machinery,
+    including non-divisible final batches)."""
+    from mmqg_tpu import checkpoint as ckpt
+    from mmqg_tpu import evaluate as E
+    from mmqg_tpu.train import init_train_state, make_optimizer
+
+    trained = trained_pipe
+    ds = QGDataset(trained, trained.test_file)
+    mc = qg_model.ModelConfig.from_config(trained, n_vocab=len(ds.vocab),
+                                          mode="trimodal")
+    emb = np.load(trained.weights_matrix_file).astype(np.float32)
+    template = init_train_state(jax.random.PRNGKey(0), mc, emb,
+                                make_optimizer(trained))
+    ts, _ = ckpt.load_checkpoint(trained.checkpoint_dir, "best", template)
+
+    preds_ref, bleu_ref = E.evaluate(
+        ts["params"], ts["model_state"], mc, ds, strategy="greedy",
+        batch_size=3, use_pallas=False)  # batch 3: pads to the 8-wide axis
+
+    mesh = make_mesh()
+    preds_dp, bleu_dp = E.evaluate(
+        shard_params(ts["params"], mesh), ts["model_state"], mc, ds,
+        strategy="greedy", batch_size=3, use_pallas=False, mesh=mesh)
+
+    assert preds_dp == preds_ref
+    assert bleu_dp == bleu_ref
 
 
 def test_checkpoint_resume_round_trips_on_mesh(tiny_config, tiny_corpus,

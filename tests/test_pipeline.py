@@ -49,64 +49,11 @@ def test_unknown_words_are_skipped(trained):
     assert len(out) == 1  # no KeyError on OOV input words
 
 
-def test_sharded_serving_matches_single_device(trained):
-    """Multi-chip DP serving (QGPipeline.shard) on the 8-device virtual mesh
-    must produce exactly the single-device generations, including when the
-    request size (3) doesn't divide the data axis (pad rows are trimmed)."""
-    rng = np.random.RandomState(1)
-    frames = rng.randint(0, 256, (2, trained.frame_size, trained.frame_size, 3),
-                         np.uint8)
-    pcm = (rng.randn(trained.audio_sample_rate) * 3000).astype(np.int16)
-    contexts = ["what is the process of the system",
-                "the value of the function is the result",
-                "the model is the system"]
-    frames_in = [frames, None, frames]
-    audio_in = [pcm, None, None]
-
-    ref_pipe = QGPipeline.from_checkpoint(trained, alias="best")
-    ref = {s: ref_pipe.generate(contexts, frames=frames_in, audio=audio_in,
-                                strategy=s) for s in ("greedy", "beam")}
-
-    for shape in ((8, 1), (4, 2)):
-        pipe = QGPipeline.from_checkpoint(trained, alias="best").shard(
-            shape=shape)
-        for strategy in ("greedy", "beam"):
-            out = pipe.generate(contexts, frames=frames_in, audio=audio_in,
-                                strategy=strategy)
-            assert out == ref[strategy], (shape, strategy)
-
-
-def test_data_parallel_evaluate_matches_single_device(trained):
-    """evaluate(mesh=...) must give the same predictions and BLEU as the
-    single-device path (exercises the --data-parallel CLI flag's machinery,
-    including non-divisible final batches)."""
-    import jax
-    from mmqg_tpu import checkpoint as ckpt
-    from mmqg_tpu import evaluate as E
-    from mmqg_tpu.data.dataset import QGDataset
-    from mmqg_tpu.models import qg_model
-    from mmqg_tpu.parallel import make_mesh, shard_params
-    from mmqg_tpu.train import init_train_state, make_optimizer
-
-    ds = QGDataset(trained, trained.test_file)
-    mc = qg_model.ModelConfig.from_config(trained, n_vocab=len(ds.vocab),
-                                          mode="trimodal")
-    emb = np.load(trained.weights_matrix_file).astype(np.float32)
-    template = init_train_state(jax.random.PRNGKey(0), mc, emb,
-                                make_optimizer(trained))
-    ts, _ = ckpt.load_checkpoint(trained.checkpoint_dir, "best", template)
-
-    preds_ref, bleu_ref = E.evaluate(
-        ts["params"], ts["model_state"], mc, ds, strategy="greedy",
-        batch_size=3, use_pallas=False)  # batch 3: pads to the 8-wide axis
-
-    mesh = make_mesh()
-    preds_dp, bleu_dp = E.evaluate(
-        shard_params(ts["params"], mesh), ts["model_state"], mc, ds,
-        strategy="greedy", batch_size=3, use_pallas=False, mesh=mesh)
-
-    assert preds_dp == preds_ref
-    assert bleu_dp == bleu_ref
+# The mesh-backed pipeline tests (sharded serving / data-parallel evaluate
+# from a trained checkpoint) live in parallel_cases.py: EVERY test that runs
+# XLA:CPU collectives must be in the isolated child suite, or its known
+# rendezvous abort (NOTES_NEXT_ROUND.md "Known flake") can kill the whole
+# pytest process when this 1-core box is loaded.
 
 
 def test_generate_from_video_end_to_end(trained, tmp_path):
