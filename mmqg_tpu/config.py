@@ -109,6 +109,14 @@ class Config:
     #   gradients reduce-scatter into the update, only updated params
     #   all-gather back. ~dp x less optimizer memory at equal collective
     #   volume. Needs a mesh with data axis > 1; no-op otherwise.
+    lr_schedule: str = "constant"  # "constant" | "cosine" | "linear"
+    #   (train.learning_rate_schedule). The reference trains at a fixed
+    #   Adam lr (reference train.py:264); these are production knobs on top.
+    lr_warmup_steps: int = 0       # linear warmup from 0 over this many updates
+    lr_decay_steps: int = 0        # decay horizon in optimizer updates
+    #   (warmup included); required > warmup for cosine/linear
+    lr_min_ratio: float = 0.0      # final lr = lr * this (cosine/linear)
+    weight_decay: float = 0.0      # > 0 turns adam into decoupled adamw
     fsdp: bool = False  # FSDP / ZeRO-3: the PARAMETERS also shard 1/dp over
     #   the data axis (parallel/mesh.fsdp_shardings; implies zero1 for the
     #   moments so the layouts align). GSPMD all-gathers each weight at its

@@ -39,18 +39,58 @@ from mmqg_tpu.models import decoder as D
 from mmqg_tpu.models import qg_model
 
 
+def learning_rate_schedule(config):
+    """Learning-rate schedule from config: ``lr_schedule`` in
+    {"constant", "cosine", "linear"} with ``lr_warmup_steps`` linear warmup
+    from 0 and, for the decaying shapes, a ``lr_decay_steps`` horizon
+    (total optimizer updates, warmup included) down to
+    ``lr * lr_min_ratio``. Returns a float for the plain constant case so
+    the optimizer state stays identical to the reference's fixed-lr Adam
+    (reference train.py:264: Adam(lr=1e-4), no schedule — these knobs are
+    production capability on top)."""
+    lr = config.lr
+    sched = getattr(config, "lr_schedule", "constant")
+    warmup = int(getattr(config, "lr_warmup_steps", 0) or 0)
+    decay = int(getattr(config, "lr_decay_steps", 0) or 0)
+    end = lr * float(getattr(config, "lr_min_ratio", 0.0) or 0.0)
+    if sched == "constant":
+        if not warmup:
+            return lr
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, lr, warmup),
+             optax.constant_schedule(lr)], [warmup])
+    if sched not in ("cosine", "linear"):
+        raise ValueError(f"unknown lr_schedule: {sched}")
+    if decay <= warmup:
+        raise ValueError(
+            f"lr_schedule={sched!r} needs lr_decay_steps (total optimizer "
+            f"updates, > lr_warmup_steps); got decay={decay}, "
+            f"warmup={warmup}")
+    if sched == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, lr, warmup, decay, end_value=end)
+    return optax.join_schedules(
+        [optax.linear_schedule(0.0, lr, warmup),
+         optax.linear_schedule(lr, end, decay - warmup)], [warmup])
+
+
 def make_optimizer(config) -> optax.GradientTransformation:
-    """adam/sgd per config.optim (reference config.py:64); optional clip.
+    """adam/adamw/sgd per config.optim (reference config.py:64) with the
+    optional lr schedule (``learning_rate_schedule``), decoupled weight
+    decay (``weight_decay`` > 0 turns adam into adamw), and optional clip.
 
     ``text_non_trainable=True`` freezes the GloVe embedding table (the
     reference declares the same flag at config.py:82 but hardcodes False at
     its create_emb_layer call, train.py:236 — here the knob works). Frozen
     = zeroed updates via optax.masked, so the table stays bit-identical to
-    the loaded weight matrix."""
+    the loaded weight matrix (weight decay included: the freeze zeroes the
+    whole update after it is formed)."""
+    lr = learning_rate_schedule(config)
+    wd = float(getattr(config, "weight_decay", 0.0) or 0.0)
     if config.optim == "adam":
-        opt = optax.adam(config.lr)
+        opt = optax.adamw(lr, weight_decay=wd) if wd > 0 else optax.adam(lr)
     elif config.optim == "sgd":
-        opt = optax.sgd(config.lr)
+        opt = optax.sgd(lr)
     else:
         raise ValueError(f"unknown optim: {config.optim}")
     if config.grad_clip_norm and config.grad_clip_norm > 0:

@@ -534,6 +534,49 @@ def test_evaluate_data_parallel_matches_single_device(setup, tiny_config,
     assert bleu1 == bleuN
 
 
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
+def test_attention_sp_matches_xla(mesh_shape):
+    """ops/attention_sp.trimodal_attention_sp — the distributed two-pass
+    softmax (pmax/psum over per-rank partials, no text-memory gather) must
+    reproduce the unsharded reference attention exactly up to f32
+    reduction-order noise, for every modality AND the assembled attention
+    maps, across rows whose text lengths hit both mask edges (1 and Lt)."""
+    from mmqg_tpu.ops import attention as A
+    from mmqg_tpu.ops.attention_sp import trimodal_attention_sp
+
+    rng = np.random.RandomState(0)
+    B, Dq, Lt, La, Ht, Hv, Ha = 8, 10, 12, 5, 6, 7, 4
+    f32 = lambda *shape: jnp.asarray(rng.randn(*shape), jnp.float32)  # noqa: E731
+    params = A.AttnParams(
+        w_text=f32(Dq, Lt), b_text=f32(Lt),
+        w_video=f32(Dq, La), b_video=f32(La),
+        w_audio=f32(Dq, La), b_audio=f32(La))
+    query = f32(B, Dq)
+    enc_text, enc_video, enc_audio = f32(B, Lt, Ht), f32(B, La, Hv), f32(B, La, Ha)
+    text_len = jnp.asarray([1, Lt, 3, 7, Lt, 2, 11, 5], jnp.int32)
+    video_len = jnp.asarray(rng.randint(1, La + 1, B), jnp.int32)
+    audio_len = jnp.asarray(rng.randint(1, La + 1, B), jnp.int32)
+
+    ref = A.trimodal_attention_xla(
+        params, query, enc_text, enc_video, enc_audio,
+        text_len, video_len, audio_len, dtype=jnp.float32)
+
+    mesh = make_mesh(mesh_shape)
+    out = jax.jit(lambda *a: trimodal_attention_sp(
+        *a, mesh=mesh, dtype=jnp.float32))(
+        params, query, enc_text, enc_video, enc_audio,
+        text_len, video_len, audio_len)
+
+    for name, r, s in (("ctx_text", ref[0], out[0]),
+                       ("ctx_audio", ref[1], out[1]),
+                       ("ctx_video", ref[2], out[2]),
+                       ("map_text", ref[3]["text"], out[3]["text"]),
+                       ("map_audio", ref[3]["audio"], out[3]["audio"]),
+                       ("map_video", ref[3]["video"], out[3]["video"])):
+        np.testing.assert_allclose(np.asarray(s), np.asarray(r),
+                                   rtol=2e-5, atol=1e-6, err_msg=name)
+
+
 @pytest.fixture(scope="module")
 def trained_pipe(tiny_config, tiny_corpus, tmp_path_factory):
     """A trained tiny trimodal checkpoint for the serving-side mesh tests

@@ -344,3 +344,101 @@ def test_donate_off_matches_donated_step(tiny_config, tiny_corpus):
                                    rtol=1e-6, atol=1e-7)
     # without donation the input state must remain readable
     _ = float(jax.tree.leaves(ts["params"])[0].ravel()[0])
+
+
+def test_lr_schedule_shapes(tiny_config):
+    """learning_rate_schedule: the constant case stays a plain float (so the
+    optimizer state is identical to the reference's fixed-lr Adam); warmup
+    rises linearly from 0 to lr; cosine/linear decay to lr*lr_min_ratio at
+    the lr_decay_steps horizon; a decaying shape without a horizon is a
+    loud config error."""
+    from mmqg_tpu.train import learning_rate_schedule
+
+    lr = tiny_config.lr
+    assert learning_rate_schedule(tiny_config) == lr
+
+    warm = learning_rate_schedule(tiny_config.replace(lr_warmup_steps=4))
+    assert float(warm(0)) == 0.0
+    assert float(warm(2)) == pytest.approx(lr / 2)
+    assert float(warm(4)) == pytest.approx(lr)
+    assert float(warm(100)) == pytest.approx(lr)
+
+    cos = learning_rate_schedule(tiny_config.replace(
+        lr_schedule="cosine", lr_warmup_steps=2, lr_decay_steps=10,
+        lr_min_ratio=0.1))
+    assert float(cos(0)) == 0.0
+    assert float(cos(2)) == pytest.approx(lr)
+    assert float(cos(10)) == pytest.approx(0.1 * lr, rel=1e-5)
+    assert float(cos(6)) < lr  # strictly inside the decay
+
+    lin = learning_rate_schedule(tiny_config.replace(
+        lr_schedule="linear", lr_warmup_steps=2, lr_decay_steps=10,
+        lr_min_ratio=0.5))
+    assert float(lin(2)) == pytest.approx(lr)
+    assert float(lin(6)) == pytest.approx(0.75 * lr, rel=1e-5)
+    assert float(lin(10)) == pytest.approx(0.5 * lr, rel=1e-5)
+
+    with pytest.raises(ValueError, match="lr_decay_steps"):
+        learning_rate_schedule(tiny_config.replace(lr_schedule="cosine"))
+    with pytest.raises(ValueError, match="unknown lr_schedule"):
+        learning_rate_schedule(tiny_config.replace(lr_schedule="step"))
+
+
+def test_weight_decay_is_decoupled_adamw(tiny_config):
+    """weight_decay > 0: with a zero gradient Adam's update is exactly zero
+    while adamw still shrinks every trainable weight by lr*wd*param — the
+    defining property of DECOUPLED weight decay."""
+    import jax
+    import optax
+
+    from mmqg_tpu.train import make_optimizer
+
+    params = {"w": jnp.asarray(np.random.RandomState(0).randn(4, 3),
+                               jnp.float32)}
+    zeros = jax.tree.map(jnp.zeros_like, params)
+
+    adam = make_optimizer(tiny_config)
+    upd, _ = adam.update(zeros, adam.init(params), params)
+    assert float(jnp.abs(upd["w"]).max()) == 0.0
+
+    wcfg = tiny_config.replace(weight_decay=0.01)
+    adamw = make_optimizer(wcfg)
+    upd, _ = adamw.update(zeros, adamw.init(params), params)
+    np.testing.assert_allclose(np.asarray(upd["w"]),
+                               -wcfg.lr * 0.01 * np.asarray(params["w"]),
+                               rtol=1e-5)
+    new = optax.apply_updates(params, upd)
+    assert float(jnp.abs(new["w"]).sum()) < float(jnp.abs(params["w"]).sum())
+
+
+def test_trainer_with_cosine_schedule_and_decay(tiny_config, tiny_corpus,
+                                                tmp_path):
+    """End-to-end: a Trainer built with cosine+warmup+adamw trains (finite,
+    decreasing-capable loss) and checkpoints/resumes — the schedule's step
+    count lives in the optimizer state, so resume must continue the decay,
+    not restart it."""
+    from mmqg_tpu.data.dataset import QGDataset
+    from mmqg_tpu.train import Trainer
+
+    cfg = tiny_config.replace(
+        lr_schedule="cosine", lr_warmup_steps=2, lr_decay_steps=40,
+        weight_decay=1e-4, output_path=tmp_path / "out")
+    cfg.ensure_dirs()
+    train_ds = QGDataset(cfg, cfg.train_file, load_media=False)
+    val_ds = QGDataset(cfg, cfg.val_file, load_media=False)
+    emb = np.load(cfg.weights_matrix_file).astype(np.float32)
+    mc = qg_model.ModelConfig.from_config(cfg, n_vocab=len(train_ds.vocab),
+                                          mode="text")
+    t = Trainer(cfg, mc, emb, train_ds, val_ds, log_fn=lambda *a, **k: None)
+    loss = t.run_epoch(0)
+    assert np.isfinite(loss)
+    t.save("last", 0)
+
+    t2 = Trainer(cfg, mc, emb, train_ds, val_ds, log_fn=lambda *a, **k: None)
+    assert t2.resume("last")
+    import jax
+    # adamw's count (the schedule clock) survived the round trip
+    counts = [int(x) for x in jax.tree.leaves(t2.train_state["opt_state"])
+              if hasattr(x, "ndim") and x.ndim == 0 and x.dtype == jnp.int32]
+    assert any(c > 0 for c in counts)
+    assert np.isfinite(t2.run_epoch(1))
