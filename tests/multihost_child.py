@@ -171,6 +171,40 @@ def main() -> int:
         np.testing.assert_allclose(to_host(b), to_host(a),
                                    rtol=1e-4, atol=1e-7)
 
+    # --- FSDP across processes: the PARAMETERS shard over the cross-host
+    # data axis too; the step's updated params keep their shards and
+    # gathering them back (the checkpoint path) reproduces the replicated
+    # step's params.
+    from mmqg_tpu.parallel.mesh import fsdp_shardings
+
+    shardings_f = {"params": fsdp_shardings(ts_host["params"], mesh),
+                   "opt_state": shardings_z["opt_state"]}
+    params_f = place_global(ts_host["params"], shardings_f["params"])
+    assert any(hasattr(x, "is_fully_addressable")
+               and not x.is_fully_addressable
+               for x in jax.tree.leaves(params_f)), "no cross-process shards"
+    ts_f = {
+        "params": params_f,
+        "model_state": replicate_global(ts_host["model_state"], mesh),
+        "opt_state": place_global(ts_host["opt_state"],
+                                  shardings_f["opt_state"]),
+        "step": replicate_global(ts_host["step"], mesh),
+    }
+    step_f = make_train_step(mc, optimizer, use_pallas=False,
+                             state_shardings=shardings_f)
+    new_f, metrics_f = step_f(ts_f, sbatch, jax.random.PRNGKey(1))
+    loss_f = float(metrics_f["loss"])
+    assert abs(loss_f - step_loss) <= 1e-4 * abs(step_loss), (
+        loss_f, step_loss)
+    p_r = [x for x in jax.tree.leaves(new_ts["params"])
+           if hasattr(x, "ndim") and x.ndim >= 2]
+    p_f = [x for x in jax.tree.leaves(new_f["params"])
+           if hasattr(x, "ndim") and x.ndim >= 2]
+    assert len(p_r) == len(p_f) and p_r
+    for a, b in zip(p_r, p_f):
+        np.testing.assert_allclose(to_host(b), to_host(a),
+                                   rtol=1e-4, atol=1e-7)
+
     print(f"MULTIHOST_OK pid={pid} primary={is_primary()} "
           f"rel_loss={rel_loss:.2e} rel_gnorm={rel_gnorm:.2e} "
           f"step_loss={step_loss:.4f}", flush=True)
