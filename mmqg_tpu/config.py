@@ -128,6 +128,11 @@ class Config:
     #   constraint — the training analogue of serving's sp_greedy_decode).
     #   Pure ceremony at the reference's 283 tokens (SURVEY.md §5); exists
     #   for longer corpora. Needs a mesh with model axis > 1.
+    sp_gather_free: bool = False  # with sequence_parallel_train: run the
+    #   decoder attention as the explicit distributed two-pass softmax
+    #   (ops/attention_sp — per-step communication O(B*H) regardless of
+    #   context length) instead of letting GSPMD pick where to gather the
+    #   sharded memory. Gradient-exact (tested); see DESIGN.md.
     train_av_bucketing: bool = True  # skip padded AV slots in train steps
     train_av_bucket_granularity: int = 8  # shared with serving's decode._bucket.
     #   Measured A/B (scripts/bench_train_buckets.py, PERF.md): eighths are 8%

@@ -129,7 +129,8 @@ def encode_jit(params, state, mc: qg_model.ModelConfig, batch,
 
 
 @partial(jax.jit, static_argnames=("strategy", "max_len", "k",
-                                   "use_pallas", "dec_kind", "dtype"))
+                                   "use_pallas", "dec_kind", "dtype",
+                                   "attn_fn"))
 def decode_from_memories(
     params: Dict,
     mem: D.Memories,
@@ -143,8 +144,13 @@ def decode_from_memories(
     use_pallas: bool = True,
     dec_kind: str = "attn",
     dtype=jnp.bfloat16,
+    attn_fn=None,
 ) -> jnp.ndarray:
-    """Jitted token-generation scan over pre-computed memories."""
+    """Jitted token-generation scan over pre-computed memories.
+
+    ``attn_fn``: alternative attention implementation threaded to
+    ``D.step`` (see its docstring) — static, so pass a long-lived callable
+    (a fresh partial per call would compile a fresh program)."""
     B = mem.enc_text.shape[0]
     emb_table = params["embedding"]["table"]
     av_vec = qg_model.av_vector(mem) if dec_kind == "non_attn" else None
@@ -154,7 +160,8 @@ def decode_from_memories(
         if dec_kind == "attn":
             logits, new_state, _ = D.step(params["decoder"], emb_table, tok,
                                           mem, dec_state, train=False,
-                                          use_pallas=use_pallas, dtype=dtype)
+                                          use_pallas=use_pallas, dtype=dtype,
+                                          attn_fn=attn_fn)
         else:
             logits, new_state = D.non_attn_step(params["decoder"], emb_table,
                                                 tok, av_vec, dec_state,

@@ -24,6 +24,7 @@ a parameter so the 528-compat shape remains constructible.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -75,16 +76,23 @@ def step(
     use_pallas: bool = True,
     dtype=jnp.bfloat16,
     project: bool = True,
+    attn_fn=None,
 ) -> Tuple[jnp.ndarray, Tuple, Dict[str, jnp.ndarray]]:
     """One decode step. Returns (logits (B,V) — or top hidden if
-    ``project=False`` — , new state, attention maps)."""
+    ``project=False`` — , new state, attention maps).
+
+    ``attn_fn``: alternative attention implementation with the
+    ``trimodal_attention_xla`` signature minus ``use_pallas`` — e.g.
+    ``ops.attention_sp.trimodal_attention_sp`` partial-bound to a mesh for
+    gather-free sequence-parallel decoding (``mesh.sp_greedy_decode``)."""
     emb = jnp.take(emb_table, word, axis=0)                # (B, D)
     h_top = state[0][-1]                                   # (B, H)
     query = jnp.concatenate([emb, h_top], axis=-1)
-    ctx_t, ctx_a, ctx_v, maps = A.trimodal_attention(
+    if attn_fn is None:
+        attn_fn = partial(A.trimodal_attention, use_pallas=use_pallas)
+    ctx_t, ctx_a, ctx_v, maps = attn_fn(
         params["attn"], query, mem.enc_text, mem.enc_video, mem.enc_audio,
-        mem.text_len, mem.video_len, mem.audio_len,
-        use_pallas=use_pallas, dtype=dtype)
+        mem.text_len, mem.video_len, mem.audio_len, dtype=dtype)
     x = jnp.concatenate([emb, ctx_t, ctx_a, ctx_v], axis=-1)
     top, new_state = L.lstm_step(params["lstm"], x, state,
                                  dropout_rate=dropout,
@@ -106,6 +114,7 @@ def teacher_forced_logits(
     dropout_rng: Optional[jax.Array] = None,
     use_pallas: bool = True,
     dtype=jnp.bfloat16,
+    attn_fn=None,
 ) -> jnp.ndarray:
     """All-step teacher forcing (reference train.py:171-175) under one scan.
     Returns logits (B, T, V)."""
@@ -117,7 +126,7 @@ def teacher_forced_logits(
                                  train=train, dropout=dropout,
                                  dropout_rng=rng_t,
                                  use_pallas=use_pallas, dtype=dtype,
-                                 project=False)
+                                 project=False, attn_fn=attn_fn)
         return (new_state, t + 1), top
 
     (_, _), tops = lax.scan(body, (init_state, 0), jnp.swapaxes(inputs, 0, 1))

@@ -356,6 +356,7 @@ def loss_fn(
     audio_cap: Optional[int] = None,
     frames_cap: Optional[int] = None,
     mem_constraint=None,
+    attn_fn=None,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Teacher-forced masked CE. Returns (objective, aux dict).
     objective = mean over valid samples of per-sample summed CE
@@ -373,7 +374,12 @@ def loss_fn(
     ``parallel.mesh.sequence_constraint(mesh)``; XLA then keeps the context
     axis sharded over the model axis through the teacher-forced decode and
     its backward, inserting the gathers/reduce-scatters where the attention
-    consumes/produces it (SURVEY.md §5 long-context)."""
+    consumes/produces it (SURVEY.md §5 long-context).
+
+    ``attn_fn`` (optional callable): alternative decoder attention (see
+    decoder.step) — e.g. ops.attention_sp.trimodal_attention_sp bound to a
+    mesh, the gather-free companion to ``mem_constraint`` whose autodiff
+    reduce-scatters flow through the shard_map."""
     target = batch["target_ids"]                       # (B, T)
     B, T = target.shape
     start = jnp.full((B, 1), START_ID, target.dtype)
@@ -398,7 +404,8 @@ def loss_fn(
         logits = decoder.teacher_forced_logits(
             params["decoder"], params["embedding"]["table"], dec_inputs, mem,
             dec_state, train=train, dropout=mc.dropout,
-            dropout_rng=dropout_rng, use_pallas=use_pallas, dtype=dtype)
+            dropout_rng=dropout_rng, use_pallas=use_pallas, dtype=dtype,
+            attn_fn=attn_fn)
     else:
         logits = decoder.non_attn_teacher_forced(
             params["decoder"], params["embedding"]["table"], dec_inputs,

@@ -28,10 +28,8 @@ sharding, SURVEY.md §5); only the text head is distributed.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 try:
@@ -58,7 +56,22 @@ def trimodal_attention_sp(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, dict]:
     """Returns (ctx_text, ctx_audio, ctx_video, attn maps) like
     ``trimodal_attention_xla``; the text context is computed from per-rank
-    partials combined with pmax/psum instead of a gathered memory."""
+    partials combined with pmax/psum instead of a gathered memory.
+
+    Any ``Lt`` works (the reference's own 283 is prime): the text axis is
+    zero-padded inside to the next model-axis multiple — padded columns sit
+    at global positions >= Lt >= text_len, so the length mask zeroes them
+    out of every partial, and the returned text map is sliced back to Lt.
+    The BATCH axis must divide the data axis (callers' batches arrive
+    mesh-padded via ``parallel.pad_and_shard_batch``)."""
+    tp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
+    lt = params.w_text.shape[1]
+    pad = (-lt) % tp
+    w_text, b_text = params.w_text, params.b_text
+    if pad:
+        w_text = jnp.pad(w_text, ((0, 0), (0, pad)))
+        b_text = jnp.pad(b_text, (0, pad))
+        enc_text = jnp.pad(enc_text, ((0, 0), (0, pad), (0, 0)))
 
     def local(w_t, b_t, w_v, b_v, w_a, b_a, q, et, ev, ea, tl, vl, al):
         qd = q.astype(dtype)
@@ -70,8 +83,12 @@ def trimodal_attention_sp(
         mask = (offset + jnp.arange(l_shard))[None, :] < tl[:, None]
         s_t = jnp.where(mask, s_t, _NEG_INF)
         # two-pass stable softmax, passes distributed over the model axis:
-        # global max via pmax, exp-sum and weighted context via psum
-        m = lax.pmax(s_t.max(axis=-1), "model")              # (B,)
+        # global max via pmax, exp-sum and weighted context via psum.
+        # stop_gradient on the max: softmax is invariant to the shift, so
+        # its gradient contribution cancels exactly — and pmax has no
+        # differentiation rule (this is what makes the op trainable,
+        # config.sp_gather_free)
+        m = lax.pmax(lax.stop_gradient(s_t).max(axis=-1), "model")  # (B,)
         e = jnp.exp(s_t - m[:, None])                        # f32, <= 1
         denom = lax.psum(e.sum(axis=-1), "model")            # (B,)
         denom = jnp.maximum(denom, 1e-30)
@@ -111,7 +128,8 @@ def trimodal_attention_sp(
                    P("data", None)),                   # video map
     )
     ctx_t, ctx_a, ctx_v, a_t, a_a, a_v = fn(
-        params.w_text, params.b_text, params.w_video, params.b_video,
+        w_text, b_text, params.w_video, params.b_video,
         params.w_audio, params.b_audio, query, enc_text, enc_video,
         enc_audio, text_len, video_len, audio_len)
-    return ctx_t, ctx_a, ctx_v, {"text": a_t, "audio": a_a, "video": a_v}
+    return ctx_t, ctx_a, ctx_v, {"text": a_t[:, :lt], "audio": a_a,
+                                 "video": a_v}

@@ -93,13 +93,20 @@ def param_shardings(params, mesh: Mesh):
     return build(params)
 
 
-def shard_params(params, mesh: Mesh):
-    """Place a parameter pytree onto the mesh per the TP rules."""
-    shardings = param_shardings(params, mesh)
+def _place(tree, shardings):
+    """device_put every array leaf of ``tree`` onto its sharding (the one
+    placement helper behind shard_params / shard_opt_state /
+    shard_params_fsdp, so the leaf predicate cannot diverge between them)."""
     return jax.tree.map(
         lambda x, s: jax.device_put(x, s) if hasattr(x, "ndim") else x,
-        params, shardings,
-        is_leaf=lambda x: hasattr(x, "ndim") or not isinstance(x, (dict, list, tuple)))
+        tree, shardings,
+        is_leaf=lambda x: hasattr(x, "ndim")
+        or not isinstance(x, (dict, list, tuple)))
+
+
+def shard_params(params, mesh: Mesh):
+    """Place a parameter pytree onto the mesh per the TP rules."""
+    return _place(params, param_shardings(params, mesh))
 
 
 # ---------------------------------------------------------------- batch rules
@@ -213,12 +220,7 @@ def fsdp_shardings(params, mesh: Mesh):
 
 def shard_params_fsdp(params, mesh: Mesh):
     """Place a parameter pytree onto the mesh FSDP-sharded (1/dp per device)."""
-    shardings = fsdp_shardings(params, mesh)
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, s) if hasattr(x, "ndim") else x,
-        params, shardings,
-        is_leaf=lambda x: hasattr(x, "ndim")
-        or not isinstance(x, (dict, list, tuple)))
+    return _place(params, fsdp_shardings(params, mesh))
 
 
 def shard_opt_state(opt_state, mesh: Mesh, *, zero1: bool = False):
@@ -226,28 +228,36 @@ def shard_opt_state(opt_state, mesh: Mesh, *, zero1: bool = False):
     data-axis sharding of the moments when ``zero1`` (config.zero1)."""
     if not zero1:
         return shard_params(opt_state, mesh)
-    shardings = zero1_shardings(opt_state, mesh)
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, s) if hasattr(x, "ndim") else x,
-        opt_state, shardings,
-        is_leaf=lambda x: hasattr(x, "ndim")
-        or not isinstance(x, (dict, list, tuple)))
+    return _place(opt_state, zero1_shardings(opt_state, mesh))
 
 
 # ------------------------------------------------------- sequence parallelism
 
 def sp_greedy_decode(params, model_state, mc, batch, mesh: Mesh, *,
-                     max_len: int = 4, rng_seed: int = 0):
+                     max_len: int = 4, rng_seed: int = 0,
+                     gather_free: bool = False):
     """Greedy decode with the text attention memory sharded over the model
     axis (sequence parallelism). One canonical implementation shared by the
     CI mesh suite (tests/parallel_cases.py) and the driver's
     dryrun_multichip so the two cannot diverge; must produce tokens
-    identical to the unsharded ``decode.decode_batch``."""
+    identical to the unsharded ``decode.decode_batch``.
+
+    ``gather_free``: run the attention itself as
+    ``ops.attention_sp.trimodal_attention_sp`` — the distributed two-pass
+    softmax whose per-step communication is O(B·H) regardless of context
+    length — instead of leaving collective placement to GSPMD (which may
+    all-gather the sharded memory at the attention)."""
     import jax
+    from functools import partial as _partial
+
     from mmqg_tpu import decode as DEC
     from mmqg_tpu.models import qg_model
 
     constrain = sequence_constraint(mesh)
+    attn_fn = None
+    if gather_free:
+        from mmqg_tpu.ops.attention_sp import trimodal_attention_sp
+        attn_fn = _partial(trimodal_attention_sp, mesh=mesh)
 
     @jax.jit
     def encode_sp(params_, state_, b):
@@ -257,7 +267,7 @@ def sp_greedy_decode(params, model_state, mc, batch, mesh: Mesh, *,
         return DEC.decode_from_memories(params_, mem, dec_state,
                                         jax.random.PRNGKey(rng_seed),
                                         strategy="greedy", max_len=max_len,
-                                        use_pallas=False)
+                                        use_pallas=False, attn_fn=attn_fn)
 
     return encode_sp(params, model_state, batch)
 

@@ -52,8 +52,16 @@ def learning_rate_schedule(config):
     sched = getattr(config, "lr_schedule", "constant")
     warmup = int(getattr(config, "lr_warmup_steps", 0) or 0)
     decay = int(getattr(config, "lr_decay_steps", 0) or 0)
-    end = lr * float(getattr(config, "lr_min_ratio", 0.0) or 0.0)
+    ratio = float(getattr(config, "lr_min_ratio", 0.0) or 0.0)
+    end = lr * ratio
     if sched == "constant":
+        if decay or ratio:
+            # loud error, not a silent no-op: decay knobs without a decaying
+            # schedule means the user almost certainly forgot lr_schedule
+            raise ValueError(
+                f"lr_decay_steps={decay}/lr_min_ratio={ratio} are set but "
+                f"lr_schedule is 'constant' — set lr_schedule to 'cosine' "
+                f"or 'linear' (or clear the decay knobs)")
         if not warmup:
             return lr
         return optax.join_schedules(
@@ -88,8 +96,22 @@ def make_optimizer(config) -> optax.GradientTransformation:
     lr = learning_rate_schedule(config)
     wd = float(getattr(config, "weight_decay", 0.0) or 0.0)
     if config.optim == "adam":
-        opt = optax.adamw(lr, weight_decay=wd) if wd > 0 else optax.adam(lr)
+        if wd > 0:
+            # decay only weight MATRICES (ndim >= 2): biases and BatchNorm
+            # scale/shift must not be pulled toward zero — the standard
+            # AdamW masking (what torch param groups do)
+            opt = optax.adamw(
+                lr, weight_decay=wd,
+                mask=lambda params: jax.tree.map(
+                    lambda p: hasattr(p, "ndim") and p.ndim >= 2, params))
+        else:
+            opt = optax.adam(lr)
     elif config.optim == "sgd":
+        if wd > 0:
+            raise ValueError(
+                "weight_decay is only implemented for optim='adam' "
+                "(decoupled adamw); got optim='sgd' — a silently ignored "
+                "knob would change the training the user asked for")
         opt = optax.sgd(lr)
     else:
         raise ValueError(f"unknown optim: {config.optim}")
@@ -137,6 +159,7 @@ def make_train_step(mc: qg_model.ModelConfig, optimizer, *,
                     use_pallas: bool = True, dtype=jnp.bfloat16,
                     audio_cap=None, frames_cap=None, accum_steps: int = 1,
                     donate: bool = True, sp_mesh=None,
+                    sp_gather_free: bool = False,
                     state_shardings: Optional[Dict[str, Any]] = None):
     """``audio_cap``/``frames_cap``: static AV-length buckets (see
     qg_model.loss_fn) — the encoders skip guaranteed-padding slots whose
@@ -168,11 +191,17 @@ def make_train_step(mc: qg_model.ModelConfig, optimizer, *,
     compiles and runs (PERF.md training table)."""
     # training-side sequence parallelism: keep the context axis of the text
     # attention memory sharded over the model axis through the decode AND
-    # its backward (config.sequence_parallel_train; see loss_fn docstring)
-    mem_constraint = None
+    # its backward (config.sequence_parallel_train; see loss_fn docstring).
+    # sp_gather_free additionally runs the attention itself as the explicit
+    # distributed two-pass softmax (ops/attention_sp) instead of letting
+    # GSPMD choose where to gather (config.sp_gather_free).
+    mem_constraint, attn_fn = None, None
     if sp_mesh is not None:
         from mmqg_tpu.parallel.mesh import sequence_constraint
         mem_constraint = sequence_constraint(sp_mesh)
+        if sp_gather_free:
+            from mmqg_tpu.ops.attention_sp import trimodal_attention_sp
+            attn_fn = partial(trimodal_attention_sp, mesh=sp_mesh)
 
     def grads_and_aux(params, model_state, mb, rng_):
         def lf(p):
@@ -180,7 +209,7 @@ def make_train_step(mc: qg_model.ModelConfig, optimizer, *,
                 p, model_state, mc, mb, train=True,
                 dropout_rng=rng_, use_pallas=use_pallas, dtype=dtype,
                 audio_cap=audio_cap, frames_cap=frames_cap,
-                mem_constraint=mem_constraint)
+                mem_constraint=mem_constraint, attn_fn=attn_fn)
         return jax.value_and_grad(lf, has_aux=True)(params)
 
     def finish(train_state, grads, model_state, metrics):
@@ -365,6 +394,8 @@ class Trainer:
                                         False)
                         and mesh is not None
                         and mesh.devices.shape[1] > 1 else None)
+        self.sp_gather_free = (getattr(config, "sp_gather_free", False)
+                               and self.sp_mesh is not None)
         # ZeRO-1 optimizer-state sharding (config.zero1) and FSDP/ZeRO-3
         # parameter sharding (config.fsdp — implies zero1 so the moment and
         # parameter shards align leaf-for-leaf): both need a data axis to
@@ -394,6 +425,7 @@ class Trainer:
                                           accum_steps=self.accum_steps,
                                           donate=self.donate,
                                           sp_mesh=self.sp_mesh,
+                                          sp_gather_free=self.sp_gather_free,
                                           state_shardings=self._state_shardings)
         # bucketed variants — skip padded AV slots in training just like
         # serving does; gradients are unchanged (loss_fn doc). Granularity is
@@ -482,6 +514,7 @@ class Trainer:
                 audio_cap=acap, frames_cap=fcap,
                 accum_steps=self.accum_steps, donate=self.donate,
                 sp_mesh=self.sp_mesh,
+                sp_gather_free=self.sp_gather_free,
                 state_shardings=self._state_shardings)
         return self._bucketed_steps[key]
 

@@ -136,6 +136,16 @@ def test_sequence_parallel_constraint(setup):
         strategy="greedy", max_len=4, use_pallas=False))
     np.testing.assert_array_equal(toks_sp, toks_ref)
 
+    # gather-free variant: the attention runs as the explicit distributed
+    # two-pass softmax (ops/attention_sp) inside the decode scan — tokens
+    # must still be identical to the unsharded decode. The tiny config's
+    # context (12) divides the 4-way model axis, but the op pads internally
+    # so indivisible contexts work too (test_attention_sp_matches_xla).
+    toks_gf = np.asarray(sp_greedy_decode(
+        ts["params"], ts["model_state"], mc, sbatch, mesh,
+        max_len=4, rng_seed=0, gather_free=True))
+    np.testing.assert_array_equal(toks_gf, toks_ref)
+
 
 def test_train_step_sequence_parallel_matches(setup):
     """TRAINING-side sequence parallelism (config.sequence_parallel_train):
@@ -156,14 +166,19 @@ def test_train_step_sequence_parallel_matches(setup):
 
     mesh = make_mesh((2, 4))  # context 12 % model axis 4 == 0
     constrain = sequence_constraint(mesh)
+    from functools import partial
 
-    @jax.jit
-    def grads_sp(params, model_state, b):
+    from mmqg_tpu.ops.attention_sp import trimodal_attention_sp
+    attn_sp = partial(trimodal_attention_sp, mesh=mesh)
+
+    @partial(jax.jit, static_argnames=("attn_fn",))
+    def grads_sp(params, model_state, b, attn_fn=None):
         def lf(p):
             return qg_model.loss_fn(p, model_state, mc, b, train=True,
                                     dropout_rng=None, use_pallas=False,
                                     dtype=jnp.float32,
-                                    mem_constraint=constrain)
+                                    mem_constraint=constrain,
+                                    attn_fn=attn_fn)
         (loss, _), g = jax.value_and_grad(lf, has_aux=True)(params)
         return loss, g
 
@@ -187,10 +202,37 @@ def test_train_step_sequence_parallel_matches(setup):
         assert err <= 1e-3 * np.linalg.norm(a) + 1e-6 * gnorm, (
             f"leaf shape {a.shape}: norm error {err:.2e}")
 
+    # gather-free variant (config.sp_gather_free): the attention runs as
+    # the explicit distributed two-pass softmax; the shard_map autodiff
+    # (psum transposes etc.) must produce the same gradients
+    lossG, gG = grads_sp(ts_sharded["params"], ts_sharded["model_state"],
+                         sbatch, attn_fn=attn_sp)
+    assert float(loss1) == pytest.approx(float(lossG), rel=1e-3)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(gG)):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        err = np.linalg.norm(b - a)
+        assert err <= 1e-3 * np.linalg.norm(a) + 1e-6 * gnorm, (
+            f"gather-free leaf shape {a.shape}: norm error {err:.2e}")
+
     step_fn = make_train_step(mc, optimizer, use_pallas=False, sp_mesh=mesh)
     new_ts, metrics = step_fn(ts_sharded, sbatch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["grad_norm"]))
+
+    # and the full donated Trainer-style step executes in gather-free mode
+    ts2 = fresh_ts()
+    ts_sharded2 = {
+        "params": shard_params(ts2["params"], mesh),
+        "model_state": jax.tree.map(jnp.asarray, ts2["model_state"]),
+        "opt_state": shard_params(ts2["opt_state"], mesh),
+        "step": ts2["step"],
+    }
+    step_gf = make_train_step(mc, optimizer, use_pallas=False, sp_mesh=mesh,
+                              sp_gather_free=True)
+    _, metrics_gf = step_gf(ts_sharded2, sbatch, jax.random.PRNGKey(1))
+    assert float(metrics_gf["loss"]) == pytest.approx(
+        float(metrics["loss"]), rel=1e-3)
 
 
 @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
@@ -534,18 +576,20 @@ def test_evaluate_data_parallel_matches_single_device(setup, tiny_config,
     assert bleu1 == bleuN
 
 
-@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
-def test_attention_sp_matches_xla(mesh_shape):
+@pytest.mark.parametrize("mesh_shape,Lt", [((4, 2), 12), ((2, 4), 13)])
+def test_attention_sp_matches_xla(mesh_shape, Lt):
     """ops/attention_sp.trimodal_attention_sp — the distributed two-pass
     softmax (pmax/psum over per-rank partials, no text-memory gather) must
     reproduce the unsharded reference attention exactly up to f32
     reduction-order noise, for every modality AND the assembled attention
-    maps, across rows whose text lengths hit both mask edges (1 and Lt)."""
+    maps, across rows whose text lengths hit both mask edges (1 and Lt).
+    Lt=13 on the 4-way model axis exercises the internal padding (the
+    reference's own Lt=283 is prime, so indivisible Lt is the NORM)."""
     from mmqg_tpu.ops import attention as A
     from mmqg_tpu.ops.attention_sp import trimodal_attention_sp
 
     rng = np.random.RandomState(0)
-    B, Dq, Lt, La, Ht, Hv, Ha = 8, 10, 12, 5, 6, 7, 4
+    B, Dq, La, Ht, Hv, Ha = 8, 10, 5, 6, 7, 4
     f32 = lambda *shape: jnp.asarray(rng.randn(*shape), jnp.float32)  # noqa: E731
     params = A.AttnParams(
         w_text=f32(Dq, Lt), b_text=f32(Lt),

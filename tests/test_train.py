@@ -382,6 +382,12 @@ def test_lr_schedule_shapes(tiny_config):
         learning_rate_schedule(tiny_config.replace(lr_schedule="cosine"))
     with pytest.raises(ValueError, match="unknown lr_schedule"):
         learning_rate_schedule(tiny_config.replace(lr_schedule="step"))
+    # decay knobs with a constant schedule are a forgotten lr_schedule,
+    # not a silent no-op
+    with pytest.raises(ValueError, match="constant"):
+        learning_rate_schedule(tiny_config.replace(lr_decay_steps=100))
+    with pytest.raises(ValueError, match="constant"):
+        learning_rate_schedule(tiny_config.replace(lr_min_ratio=0.1))
 
 
 def test_weight_decay_is_decoupled_adamw(tiny_config):
@@ -403,12 +409,21 @@ def test_weight_decay_is_decoupled_adamw(tiny_config):
 
     wcfg = tiny_config.replace(weight_decay=0.01)
     adamw = make_optimizer(wcfg)
+    # biases / BN vectors (ndim < 2) are masked OUT of the decay — only
+    # weight matrices shrink (the standard AdamW parameter grouping)
+    params["b"] = jnp.asarray(np.random.RandomState(1).randn(3), jnp.float32)
+    zeros = jax.tree.map(jnp.zeros_like, params)
     upd, _ = adamw.update(zeros, adamw.init(params), params)
     np.testing.assert_allclose(np.asarray(upd["w"]),
                                -wcfg.lr * 0.01 * np.asarray(params["w"]),
                                rtol=1e-5)
+    assert float(jnp.abs(upd["b"]).max()) == 0.0
     new = optax.apply_updates(params, upd)
     assert float(jnp.abs(new["w"]).sum()) < float(jnp.abs(params["w"]).sum())
+
+    # weight decay with sgd would be silently ignored — loud error instead
+    with pytest.raises(ValueError, match="sgd"):
+        make_optimizer(tiny_config.replace(optim="sgd", weight_decay=0.01))
 
 
 def test_trainer_with_cosine_schedule_and_decay(tiny_config, tiny_corpus,
