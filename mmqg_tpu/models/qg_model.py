@@ -351,7 +351,6 @@ def loss_fn(
     *,
     train: bool = True,
     dropout_rng: Optional[jax.Array] = None,
-    use_pallas: bool = True,
     dtype=jnp.bfloat16,
     audio_cap: Optional[int] = None,
     frames_cap: Optional[int] = None,
@@ -386,12 +385,15 @@ def loss_fn(
     dec_inputs = jnp.concatenate([start, target[:, :-1]], axis=1)
 
     # This function is what jax.grad differentiates, and it deliberately
-    # always takes the XLA path: the inference kernels (lstm_pallas,
-    # attention_pallas) are forward-only, and the TRAINABLE Pallas LSTM that
-    # does exist (ops/lstm_train_pallas.py, custom-VJP fused BPTT) measured
-    # equal to the XLA scan at reference scale (both per-step latency-bound;
-    # PERF.md "Kernel notes") — it is kept as the documented path for larger
-    # hidden sizes where weight re-streaming dominates, not wired here.
+    # always takes the XLA path — there is NO use_pallas parameter here, by
+    # design: the inference kernels (lstm_pallas, attention_pallas) are
+    # forward-only, and the TRAINABLE Pallas LSTM that does exist
+    # (ops/lstm_train_pallas.py, custom-VJP fused BPTT) measured equal to
+    # the XLA scan at reference scale (both per-step latency-bound; PERF.md
+    # "Kernel notes") — it is kept as the documented path for larger hidden
+    # sizes where weight re-streaming dominates, not wired here.
+    # config.use_pallas governs the SERVING/decode path (greedy/beam decode,
+    # validation decode) only.
     use_pallas = False
 
     mem, dec_state, new_state = encode(

@@ -9,6 +9,9 @@ and, across hosts/slices, a ``jax.distributed`` multi-process runtime whose
 collectives ride DCN (multihost.py).
 """
 
+from mmqg_tpu.parallel.gpipe import (  # noqa: F401
+    gpipe, microbatch, stack_stage_params, unmicrobatch,
+)
 from mmqg_tpu.parallel.mesh import (  # noqa: F401
     fsdp_shardings, make_mesh, batch_sharding, pad_and_shard_batch,
     param_shardings, shard_batch, shard_opt_state, shard_params,

@@ -21,16 +21,22 @@ Design (TPU-native, scaling-book shape):
   Bubble fraction is the textbook (S-1)/T, amortised by raising M.
 * Everything is differentiable: the ppermute/psum transposes are themselves
   ppermute/psum, so ``jax.grad`` through a gpipe'd forward IS pipeline-
-  parallel BPTT with the reverse schedule. Gradient exactness vs the
-  sequential stack is asserted in tests/parallel_cases.py.
+  parallel BPTT with the reverse schedule. Forward and parameter-gradient
+  agreement with the sequential stack is asserted in
+  tests/parallel_cases.py (test_gpipe_*), on the (4,2) and (2,4) virtual
+  meshes, including the DP×PP composition.
 * Composes with data parallelism: the microbatch BATCH dim shards over the
   "data" axis of the same mesh, giving DP×PP on one 2-D mesh.
 
-Exactness: device s applies exactly the ops the sequential stack applies to
-microbatch m = t - s, in the same order; outputs are collected from the last
-stage only, and the warmup/drain garbage slots are never read — forward
-output and parameter gradients are bit-equal to the sequential stack in f32
-(asserted, not just allclose'd, in the virtual-mesh suite).
+Exactness contract: device s applies exactly the ops the sequential stack
+applies to microbatch m = t - s, in the same order; outputs are collected
+from the last stage only, and the warmup/drain garbage slots are never
+read. The agreement is NUMERICAL, not bitwise: the scan-internal fusion
+reassociates the stage matmuls, so f32 forward differs from the sequential
+stack at the reassociation-noise level (~1e-7 rel measured) and parameter
+gradients at ~1e-6 rel. The tests assert tight f32 allclose (atol/rtol
+1e-5), far below any real scheduling bug (a dropped/duplicated microbatch
+or off-by-one warmup slot shifts results at O(1)).
 """
 
 from __future__ import annotations
@@ -127,7 +133,14 @@ def gpipe(stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
                 y, axis, [(i, (i + 1) % s_stages) for i in range(s_stages)])
             return y_next, out
 
-        _, outs = lax.scan(tick, jnp.zeros(mb_shape, xs_local.dtype), feed)
+        # the carry produced by tick() varies over the pipeline axis (params
+        # differ per stage) and over the data axis when present; the zero
+        # init must carry the same varying-manual-axes type or lax.scan
+        # rejects the carry under shard_map's VMA checking (jax>=0.9)
+        vary = (axis,) + ((dp,) if dp else ())
+        init = lax.pcast(jnp.zeros(mb_shape, xs_local.dtype), vary,
+                         to="varying")
+        _, outs = lax.scan(tick, init, feed)
         # the last stage finishes microbatch m at tick m + S - 1; every
         # other device contributed zeros, so a psum replicates the result
         return lax.psum(outs[s_stages - 1:], axis)

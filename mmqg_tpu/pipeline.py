@@ -261,6 +261,19 @@ class QGPipeline:
         absent and ffmpeg exists the track is extracted to a temp wav; with
         neither, audio is omitted (text+video mode inputs).
         """
+        contexts, frames, audio = self._prep_video(
+            video_path, spans, subtitles=subtitles, contexts=contexts,
+            audio_path=audio_path)
+        return self.generate(contexts, frames, audio, strategy=strategy,
+                             beam_size=beam_size, topk=topk, top_p=top_p,
+                             seed=seed)
+
+    def _prep_video(self, video_path, spans, *, subtitles=None,
+                    contexts=None, audio_path=None):
+        """Host half of ``generate_from_video``: demux/decode/sample/slice —
+        everything before the jitted decode. Pure host work (numpy + the
+        native media lib, no device), so it runs on worker threads in
+        ``generate_from_videos`` while the device decodes other videos."""
         from mmqg_tpu.data import saliency, wav as wavio
         from mmqg_tpu.data.subtitles import span_seconds
         from mmqg_tpu.data.text_prep import preprocess_text
@@ -294,10 +307,60 @@ class QGPipeline:
                      for a, b in spans_s]
         else:
             audio = self._span_audio(video_path, spans_s)
+        return contexts, frames, audio
 
-        return self.generate(contexts, frames, audio, strategy=strategy,
-                             beam_size=beam_size, topk=topk, top_p=top_p,
-                             seed=seed)
+    def generate_from_videos(
+        self,
+        jobs: Sequence[Dict],
+        *,
+        workers: int = 4,
+        strategy: str = "greedy",
+        beam_size: Optional[int] = None,
+        topk: int = 1,
+        top_p: float = 0.9,
+        seed: int = 0,
+    ) -> List[List[str]]:
+        """Many videos in, questions out, with host prep OVERLAPPED against
+        device decode — the joint end-to-end path the north star prices
+        (BASELINE.json "preproc+decode"; the reference ran its two halves
+        strictly in sequence: dataset/get_salient_frames.py +
+        get_audio.py, THEN evaluate.py:34-127).
+
+        ``jobs``: one dict per video with ``video_path``, ``spans`` and
+        optionally ``subtitles`` / ``contexts`` / ``audio_path`` (the
+        ``generate_from_video`` keywords). Host prep (demux, seek-decode,
+        frame sampling, wav slicing — numpy/libav, GIL-releasing) runs on a
+        ``workers``-wide thread pool; each video's decode DISPATCHES as its
+        prep lands (jit dispatch is async), so the device decodes video i
+        while the host decodes videos i+1..i+workers. Results return in job
+        order. Measured A/B vs the sequential path: scripts/
+        bench_joint_video.py, PERF.md "Joint mp4->questions"."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        jobs = list(jobs)
+        finalizers: List = [None] * len(jobs)
+
+        def prep(job: Dict):
+            return self._prep_video(
+                job["video_path"], job["spans"],
+                subtitles=job.get("subtitles"),
+                contexts=job.get("contexts"),
+                audio_path=job.get("audio_path"))
+
+        with ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
+            futures = [ex.submit(prep, job) for job in jobs]
+            # dispatch in COMPLETION order (the whole point: the device must
+            # not wait for video 0 if video 1's prep landed first), collect
+            # in job order
+            import concurrent.futures as cf
+            index = {f: i for i, f in enumerate(futures)}
+            for fut in cf.as_completed(futures):
+                i = index[fut]
+                contexts, frames, audio = fut.result()
+                finalizers[i] = self.generate_async(
+                    contexts, frames, audio, strategy=strategy,
+                    beam_size=beam_size, topk=topk, top_p=top_p, seed=seed)
+        return [fin() for fin in finalizers]
 
     def _span_audio(self, video_path, spans_s):
         """Each span's PCM straight from the video's audio track, or None

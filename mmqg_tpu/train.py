@@ -156,7 +156,7 @@ def batch_arrays(batch: Batch) -> Dict[str, np.ndarray]:
 
 
 def make_train_step(mc: qg_model.ModelConfig, optimizer, *,
-                    use_pallas: bool = True, dtype=jnp.bfloat16,
+                    dtype=jnp.bfloat16,
                     audio_cap=None, frames_cap=None, accum_steps: int = 1,
                     donate: bool = True, sp_mesh=None,
                     sp_gather_free: bool = False,
@@ -207,7 +207,7 @@ def make_train_step(mc: qg_model.ModelConfig, optimizer, *,
         def lf(p):
             return qg_model.loss_fn(
                 p, model_state, mc, mb, train=True,
-                dropout_rng=rng_, use_pallas=use_pallas, dtype=dtype,
+                dropout_rng=rng_, dtype=dtype,
                 audio_cap=audio_cap, frames_cap=frames_cap,
                 mem_constraint=mem_constraint, attn_fn=attn_fn)
         return jax.value_and_grad(lf, has_aux=True)(params)
@@ -421,7 +421,6 @@ class Trainer:
         if mesh is not None:
             self.train_state = self._place_on_mesh(self.train_state)
         self.train_step = make_train_step(mc, self.optimizer,
-                                          use_pallas=self.use_pallas,
                                           accum_steps=self.accum_steps,
                                           donate=self.donate,
                                           sp_mesh=self.sp_mesh,
@@ -510,8 +509,7 @@ class Trainer:
         key = (acap, fcap)
         if key not in self._bucketed_steps:
             self._bucketed_steps[key] = make_train_step(
-                self.mc, self.optimizer, use_pallas=self.use_pallas,
-                audio_cap=acap, frames_cap=fcap,
+                self.mc, self.optimizer, audio_cap=acap, frames_cap=fcap,
                 accum_steps=self.accum_steps, donate=self.donate,
                 sp_mesh=self.sp_mesh,
                 sp_gather_free=self.sp_gather_free,

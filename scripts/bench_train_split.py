@@ -35,7 +35,7 @@ def main():
     @jax.jit
     def fwd(params, model_state, batch, rng):
         return qg_model.loss_fn(params, model_state, mc, batch, train=True,
-                                dropout_rng=rng, use_pallas=False)[0]
+                                dropout_rng=rng)[0]
 
     ms = timeit(fwd, ts["params"], ts["model_state"], dev, rng)
     print(f"forward loss            {ms:8.1f} ms")
@@ -44,14 +44,14 @@ def main():
     def vg(params, model_state, batch, rng):
         def lf(p):
             return qg_model.loss_fn(p, model_state, mc, batch, train=True,
-                                    dropout_rng=rng, use_pallas=False)
+                                    dropout_rng=rng)
         (loss, _), grads = jax.value_and_grad(lf, has_aux=True)(params)
         return loss, grads
 
     ms = timeit(vg, ts["params"], ts["model_state"], dev, rng)
     print(f"forward+backward        {ms:8.1f} ms")
 
-    step = make_train_step(mc, optimizer, use_pallas=False)
+    step = make_train_step(mc, optimizer)
     ts2 = jax.device_put(jax.tree.map(np.asarray, ts))
     ts2, m = step(ts2, dev, rng)
     np.asarray(m["loss"])

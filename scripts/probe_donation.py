@@ -28,8 +28,7 @@ def run(B, A, donate):
         if A == 1:
             def lf(p):
                 return qg_model.loss_fn(p, train_state["model_state"], mc, batch,
-                                        train=True, dropout_rng=rng, use_pallas=False,
-                                        audio_cap=acap, frames_cap=fcap)
+                                        train=True, dropout_rng=rng, audio_cap=acap, frames_cap=fcap)
             (obj, aux), grads = jax.value_and_grad(lf, has_aux=True)(train_state["params"])
         else:
             micro = {k: v.reshape((A, B // A) + v.shape[1:]) for k, v in batch.items()}
@@ -41,8 +40,7 @@ def run(B, A, donate):
                 mb, r = xs
                 def lf(p):
                     return qg_model.loss_fn(p, ms, mc, mb, train=True,
-                                            dropout_rng=r, use_pallas=False,
-                                            audio_cap=acap, frames_cap=fcap)
+                                            dropout_rng=r, audio_cap=acap, frames_cap=fcap)
                 (o, aux), g = jax.value_and_grad(lf, has_aux=True)(p0)
                 return (jax.tree.map(lambda a, b: a + b, g_acc, g), aux["state"]), o
             (grads, new_ms), objs = jax.lax.scan(sbody, (g0, train_state["model_state"]), (micro, rngs))

@@ -49,7 +49,7 @@ def main():
         def fwd(params, model_state, batch, rng):
             return qg_model.loss_fn(params, model_state, mc, batch,
                                     train=True, dropout_rng=rng,
-                                    use_pallas=False, audio_cap=a,
+                                    audio_cap=a,
                                     frames_cap=f)[0]
         fwd_j = jax.jit(fwd)
 
@@ -57,7 +57,7 @@ def main():
             def lf(p):
                 return qg_model.loss_fn(p, model_state, mc, batch,
                                         train=True, dropout_rng=rng,
-                                        use_pallas=False, audio_cap=a,
+                                        audio_cap=a,
                                         frames_cap=f)
             (loss, _), grads = jax.value_and_grad(lf, has_aux=True)(params)
             return loss, grads

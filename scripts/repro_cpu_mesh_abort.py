@@ -74,8 +74,7 @@ def main():
         def step(ts, b, rng):
             def lf(p):
                 return qg_model.loss_fn(p, ts["model_state"], mc, b,
-                                        train=True, dropout_rng=rng,
-                                        use_pallas=False)
+                                        train=True, dropout_rng=rng)
             (loss, aux), grads = jax.value_and_grad(lf, has_aux=True)(
                 ts["params"])
             updates, new_opt = opt.update(grads, ts["opt_state"],

@@ -60,8 +60,7 @@ def main() -> int:
     def loss_and_gnorm(params, model_state, b):
         def lf(p):
             return qg_model.loss_fn(p, model_state, mc, b, train=True,
-                                    dropout_rng=None, use_pallas=False,
-                                    dtype=jnp.float32)
+                                    dropout_rng=None, dtype=jnp.float32)
         (loss, _), g = jax.value_and_grad(lf, has_aux=True)(params)
         return loss, optax.global_norm(g)
 
@@ -90,7 +89,7 @@ def main() -> int:
         "opt_state": shard_params_global(ts_host["opt_state"], mesh),
         "step": replicate_global(ts_host["step"], mesh),
     }
-    step_fn = make_train_step(mc, optimizer, use_pallas=False)
+    step_fn = make_train_step(mc, optimizer)
     new_ts, metrics = step_fn(ts_g, sbatch, jax.random.PRNGKey(1))
     step_loss = float(metrics["loss"])
     assert np.isfinite(step_loss), step_loss
@@ -156,8 +155,7 @@ def main() -> int:
         "opt_state": opt_z,
         "step": replicate_global(ts_host["step"], mesh),
     }
-    step_z = make_train_step(mc, optimizer, use_pallas=False,
-                             state_shardings=shardings_z)
+    step_z = make_train_step(mc, optimizer, state_shardings=shardings_z)
     new_z, metrics_z = step_z(ts_z, sbatch, jax.random.PRNGKey(1))
     loss_z = float(metrics_z["loss"])
     assert abs(loss_z - step_loss) <= 1e-4 * abs(step_loss), (
@@ -190,8 +188,7 @@ def main() -> int:
                                   shardings_f["opt_state"]),
         "step": replicate_global(ts_host["step"], mesh),
     }
-    step_f = make_train_step(mc, optimizer, use_pallas=False,
-                             state_shardings=shardings_f)
+    step_f = make_train_step(mc, optimizer, state_shardings=shardings_f)
     new_f, metrics_f = step_f(ts_f, sbatch, jax.random.PRNGKey(1))
     loss_f = float(metrics_f["loss"])
     assert abs(loss_f - step_loss) <= 1e-4 * abs(step_loss), (

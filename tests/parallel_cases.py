@@ -52,8 +52,7 @@ def _grads_fn(mc):
             # this very comparison in f32), which would force a tolerance
             # too loose to catch a dropped shard
             return qg_model.loss_fn(p, model_state, mc, batch, train=True,
-                                    dropout_rng=None, use_pallas=False,
-                                    dtype=jnp.float32)
+                                    dropout_rng=None, dtype=jnp.float32)
         (loss, _), g = jax.value_and_grad(lf, has_aux=True)(params)
         return loss, g
 
@@ -99,7 +98,7 @@ def test_train_step_on_mesh_matches_single_device(setup, mesh_shape):
             f"(|a|={np.linalg.norm(a):.2e}, global={gnorm:.2e})")
 
     # and the full donated train step executes on the mesh
-    step_fn = make_train_step(mc, optimizer, use_pallas=False)
+    step_fn = make_train_step(mc, optimizer)
     new_ts, metrics = step_fn(ts_sharded, sbatch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["grad_norm"]))
@@ -175,8 +174,7 @@ def test_train_step_sequence_parallel_matches(setup):
     def grads_sp(params, model_state, b, attn_fn=None):
         def lf(p):
             return qg_model.loss_fn(p, model_state, mc, b, train=True,
-                                    dropout_rng=None, use_pallas=False,
-                                    dtype=jnp.float32,
+                                    dropout_rng=None, dtype=jnp.float32,
                                     mem_constraint=constrain,
                                     attn_fn=attn_fn)
         (loss, _), g = jax.value_and_grad(lf, has_aux=True)(params)
@@ -215,7 +213,7 @@ def test_train_step_sequence_parallel_matches(setup):
         assert err <= 1e-3 * np.linalg.norm(a) + 1e-6 * gnorm, (
             f"gather-free leaf shape {a.shape}: norm error {err:.2e}")
 
-    step_fn = make_train_step(mc, optimizer, use_pallas=False, sp_mesh=mesh)
+    step_fn = make_train_step(mc, optimizer, sp_mesh=mesh)
     new_ts, metrics = step_fn(ts_sharded, sbatch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["grad_norm"]))
@@ -228,7 +226,7 @@ def test_train_step_sequence_parallel_matches(setup):
         "opt_state": shard_params(ts2["opt_state"], mesh),
         "step": ts2["step"],
     }
-    step_gf = make_train_step(mc, optimizer, use_pallas=False, sp_mesh=mesh,
+    step_gf = make_train_step(mc, optimizer, sp_mesh=mesh,
                               sp_gather_free=True)
     _, metrics_gf = step_gf(ts_sharded2, sbatch, jax.random.PRNGKey(1))
     assert float(metrics_gf["loss"]) == pytest.approx(
@@ -254,8 +252,7 @@ def test_zero1_optimizer_sharding_matches(setup, mesh_shape):
         def go(params, model_state, opt_state, bb):
             def lf(p):
                 return qg_model.loss_fn(p, model_state, mc, bb, train=True,
-                                        dropout_rng=None, use_pallas=False,
-                                        dtype=jnp.float32)
+                                        dropout_rng=None, dtype=jnp.float32)
             (loss, _), g = jax.value_and_grad(lf, has_aux=True)(params)
             updates, new_opt = optimizer.update(g, opt_state, params)
             new_params = optax.apply_updates(params, updates)
@@ -328,8 +325,7 @@ def test_zero1_optimizer_sharding_matches(setup, mesh_shape):
             f"update {np.linalg.norm(upd):.2e}")
 
     # the full donated Trainer-style step executes with ZeRO-1 shardings
-    step_fn = make_train_step(mc, optimizer, use_pallas=False,
-                              state_shardings=shardings)
+    step_fn = make_train_step(mc, optimizer, state_shardings=shardings)
     new_ts, metrics = step_fn(ts_sharded, sbatch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
     # the step's output moments keep their ZeRO-1 shards (the constraint in
@@ -361,8 +357,7 @@ def test_fsdp_param_sharding_matches(setup, mesh_shape):
         def go(params, model_state, opt_state, bb):
             def lf(p):
                 return qg_model.loss_fn(p, model_state, mc, bb, train=True,
-                                        dropout_rng=None, use_pallas=False,
-                                        dtype=jnp.float32)
+                                        dropout_rng=None, dtype=jnp.float32)
             (loss, _), g = jax.value_and_grad(lf, has_aux=True)(params)
             updates, new_opt = optimizer.update(g, opt_state, params)
             new_params = optax.apply_updates(params, updates)
@@ -419,8 +414,7 @@ def test_fsdp_param_sharding_matches(setup, mesh_shape):
     # the full donated Trainer-style step executes with FSDP shardings and
     # its OUTPUT params keep the 1/dp layout (the constraint in
     # make_train_step.finish, not an accident of GSPMD propagation)
-    step_fn = make_train_step(mc, optimizer, use_pallas=False,
-                              state_shardings=shardings)
+    step_fn = make_train_step(mc, optimizer, state_shardings=shardings)
     new_ts, metrics = step_fn(ts_sharded, sbatch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
     assert any("data" in str(x.sharding.spec)
@@ -799,8 +793,7 @@ def test_resnet_backbone_on_mesh(tiny_config, tiny_corpus):
     def loss_gnorm(p, ms, b):
         def lf(pp):
             return qg_model.loss_fn(pp, ms, mc, b, train=True,
-                                    dropout_rng=None, use_pallas=False,
-                                    dtype=jnp.float32)
+                                    dropout_rng=None, dtype=jnp.float32)
         (loss, _), g = jax.value_and_grad(lf, has_aux=True)(p)
         return loss, optax.global_norm(g)
 
@@ -820,3 +813,118 @@ def test_resnet_backbone_on_mesh(tiny_config, tiny_corpus):
     assert lw["w"].spec[-1] == "model", lw["w"].spec      # (3,1,1,M,512)
     stem = tp["video_enc"]["stem_s"]
     assert stem["w"].spec[-1] is None, stem["w"].spec     # 45 % 2 != 0
+
+
+# ----------------------------------------------------------------- GPipe (PP)
+
+def _gpipe_setup(n_stages, width=8, n_micro=4, mb=4, seed=0):
+    """S homogeneous tanh-dense stages + microbatched inputs + the
+    sequential-stack oracle everything is compared against."""
+    from mmqg_tpu.parallel import microbatch, stack_stage_params
+
+    rng = np.random.RandomState(seed)
+    stage_params = [
+        {"w": jnp.asarray(rng.randn(width, width) / np.sqrt(width),
+                          jnp.float32),
+         "b": jnp.asarray(rng.randn(width) * 0.1, jnp.float32)}
+        for _ in range(n_stages)]
+    stacked = stack_stage_params(stage_params)
+
+    def stage_fn(p, x):
+        return jnp.tanh(x @ p["w"] + p["b"])
+
+    def sequential(stacked_p, xs):
+        h = xs
+        for s in range(n_stages):
+            h = stage_fn(jax.tree.map(lambda l: l[s], stacked_p), h)
+        return h
+
+    xs = microbatch(
+        jnp.asarray(rng.randn(n_micro * mb, width), jnp.float32), n_micro)
+    return stage_fn, stacked, xs, sequential
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
+def test_gpipe_forward_matches_sequential(mesh_shape):
+    """GPipe over the model axis (S=2 / S=4 stages), microbatch dim sharded
+    over the data axis (DPxPP on one 2-D mesh): forward output must equal
+    the sequential stack. Tight f32 allclose — a dropped/duplicated
+    microbatch or an off-by-one warmup slot shifts results at O(1), four
+    orders above the scan-fusion reassociation noise this tolerates."""
+    from mmqg_tpu.parallel import gpipe
+
+    mesh = make_mesh(mesh_shape)
+    s = mesh_shape[1]
+    stage_fn, stacked, xs, sequential = _gpipe_setup(
+        n_stages=s, n_micro=4, mb=mesh_shape[0])
+    y = gpipe(stage_fn, stacked, xs, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(sequential(stacked, xs)),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
+def test_gpipe_grads_match_sequential(mesh_shape):
+    """jax.grad through the gpipe'd forward IS pipeline-parallel BPTT (the
+    ppermute/psum transposes run the reverse schedule); parameter gradients
+    must match the sequential stack's."""
+    from mmqg_tpu.parallel import gpipe
+
+    mesh = make_mesh(mesh_shape)
+    s = mesh_shape[1]
+    stage_fn, stacked, xs, sequential = _gpipe_setup(
+        n_stages=s, n_micro=4, mb=mesh_shape[0])
+
+    def loss_pipe(p):
+        return jnp.sum(gpipe(stage_fn, p, xs, mesh=mesh) ** 2)
+
+    def loss_seq(p):
+        return jnp.sum(sequential(p, xs) ** 2)
+
+    g_pipe = jax.jit(jax.grad(loss_pipe))(stacked)
+    g_seq = jax.grad(loss_seq)(stacked)
+    for k in g_seq:
+        np.testing.assert_allclose(np.asarray(g_pipe[k]),
+                                   np.asarray(g_seq[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
+
+
+def test_gpipe_deep_pipeline_on_data_axis():
+    """S=8 stages using the data axis as the pipeline axis (axis= is a knob,
+    not a hard-coded name) — exercises the warmup/drain slot accounting at
+    the suite's max depth, with more drain ticks (7) than microbatches when
+    n_micro=4 is fed."""
+    from mmqg_tpu.parallel import gpipe
+
+    mesh = make_mesh((8, 1))
+    stage_fn, stacked, xs, sequential = _gpipe_setup(
+        n_stages=8, n_micro=4, mb=2)
+    y = gpipe(stage_fn, stacked, xs, mesh=mesh, axis="data",
+              data_axis="model")
+    np.testing.assert_allclose(np.asarray(y), np.asarray(sequential(stacked, xs)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gpipe_validates_inputs():
+    """Loud errors: bad stage leading dim, indivisible microbatching, an
+    unknown mesh axis, and a shape-changing stage_fn all raise."""
+    from mmqg_tpu.parallel import gpipe, microbatch
+
+    mesh = make_mesh((4, 2))
+    stage_fn, stacked, xs, _ = _gpipe_setup(n_stages=2, n_micro=4, mb=4)
+    with pytest.raises(ValueError, match="not divisible"):
+        microbatch(jnp.zeros((10, 8)), 4)
+    with pytest.raises(ValueError, match="no axis"):
+        gpipe(stage_fn, stacked, xs, mesh=mesh, axis="pipe")
+    bad = jax.tree.map(lambda l: jnp.concatenate([l, l]), stacked)  # S=4
+    with pytest.raises(ValueError, match="leading dim"):
+        gpipe(stage_fn, bad, xs, mesh=mesh)
+    with pytest.raises(ValueError, match="preserve activation"):
+        gpipe(lambda p, x: x[..., :4], stacked, xs, mesh=mesh)
+
+
+def test_gpipe_microbatch_round_trip():
+    from mmqg_tpu.parallel import microbatch, unmicrobatch
+
+    x = jnp.arange(24.0).reshape(8, 3)
+    assert np.array_equal(np.asarray(unmicrobatch(microbatch(x, 4))),
+                          np.asarray(x))

@@ -25,8 +25,7 @@ def test_loss_finite_all_modes(setup, mode):
     mc = _mc(config, len(ds.vocab), mode)
     params, state = qg_model.init(jax.random.PRNGKey(0), mc, emb)
     batch = batch_arrays(next(ds.batches(config.batch_size)))
-    loss, aux = qg_model.loss_fn(params, state, mc, batch, train=False,
-                                 use_pallas=False)
+    loss, aux = qg_model.loss_fn(params, state, mc, batch, train=False)
     assert np.isfinite(float(loss))
     assert float(aux["loss_per_sample"]) > 0
 
@@ -62,8 +61,7 @@ def test_padding_invariance(setup):
     mc = _mc(config, len(ds.vocab), "trimodal")
     params, state = qg_model.init(jax.random.PRNGKey(0), mc, emb)
     batch = batch_arrays(next(ds.batches(config.batch_size)))
-    loss1, _ = qg_model.loss_fn(params, state, mc, batch, train=False,
-                                use_pallas=False)
+    loss1, _ = qg_model.loss_fn(params, state, mc, batch, train=False)
 
     corrupted = dict(batch)
     ids = batch["context_ids"].copy()
@@ -74,8 +72,7 @@ def test_padding_invariance(setup):
     for i, n in enumerate(batch["frames_len"]):
         frames[i, n:] = 255
     corrupted["frames"] = frames
-    loss2, _ = qg_model.loss_fn(params, state, mc, corrupted, train=False,
-                                use_pallas=False)
+    loss2, _ = qg_model.loss_fn(params, state, mc, corrupted, train=False)
     assert float(loss1) == pytest.approx(float(loss2), rel=1e-5)
 
 
@@ -86,8 +83,7 @@ def test_grads_cover_all_params(setup):
     batch = batch_arrays(next(ds.batches(config.batch_size)))
 
     grads = jax.grad(
-        lambda p: qg_model.loss_fn(p, state, mc, batch, train=False,
-                                   use_pallas=False)[0])(params)
+        lambda p: qg_model.loss_fn(p, state, mc, batch, train=False)[0])(params)
     flat = jax.tree.leaves(jax.tree.map(
         lambda g: float(jnp.abs(g).sum()) if hasattr(g, "ndim") else 0.0, grads))
     # every leaf gets gradient signal (shared emb, all encoders, decoder)

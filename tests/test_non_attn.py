@@ -25,12 +25,10 @@ def test_loss_and_grads(setup):
     params, state = qg_model.init(jax.random.PRNGKey(0), mc, emb)
     assert "attn" not in params["decoder"]  # non-attn has no location heads
     batch = batch_arrays(next(ds.batches(config.batch_size)))
-    loss, aux = qg_model.loss_fn(params, state, mc, batch, train=False,
-                                 use_pallas=False)
+    loss, aux = qg_model.loss_fn(params, state, mc, batch, train=False)
     assert np.isfinite(float(loss))
     grads = jax.grad(lambda p: qg_model.loss_fn(p, state, mc, batch,
-                                                train=False,
-                                                use_pallas=False)[0])(params)
+                                                train=False)[0])(params)
     gsum = sum(float(np.abs(np.asarray(g)).sum())
                for g in jax.tree.leaves(grads))
     assert np.isfinite(gsum) and gsum > 0

@@ -167,3 +167,32 @@ def test_pipeline_resnet_backbone(tiny_config, tiny_corpus,
     out = pipe.generate(["what is the process of the system"],
                         frames=[frames], strategy="greedy")
     assert len(out) == 1 and isinstance(out[0], str)
+
+
+def test_generate_from_videos_overlapped_matches_sequential(trained, tmp_path):
+    """The overlapped multi-video driver (generate_from_videos: thread-pool
+    prep, completion-order dispatch) must return exactly what per-video
+    generate_from_video returns, in job order."""
+    pytest.importorskip("cv2")
+    from mmqg_tpu.data import native
+
+    if not native.media_available():
+        pytest.skip("native media lib unavailable")
+    jobs = []
+    for v in range(3):
+        video = tmp_path / f"lec{v}.mp4"
+        if not native.write_test_av_mp4(video, seconds=6.0, freq=300 + 100 * v,
+                                        fps=10):
+            pytest.skip("AAC/MPEG-4 encoders not built into libavcodec")
+        jobs.append({"video_path": video,
+                     "spans": [(1.0, 3.0), (3.0, 5.0)],
+                     "contexts": ["what is the process",
+                                  "the value of the system"]})
+
+    pipe = QGPipeline.from_checkpoint(trained, alias="best")
+    sequential = [pipe.generate_from_video(j["video_path"], j["spans"],
+                                           contexts=j["contexts"])
+                  for j in jobs]
+    overlapped = pipe.generate_from_videos(jobs, workers=3)
+    assert overlapped == sequential
+    assert all(len(qs) == 2 for qs in overlapped)

@@ -26,7 +26,7 @@ def test_train_step_donates_buffers(tiny_config, tiny_corpus):
     ts = jax.tree.map(jnp.asarray,
                       init_train_state(jax.random.PRNGKey(0), mc, emb, opt))
     old_table = ts["params"]["embedding"]["table"]
-    step = make_train_step(mc, opt, use_pallas=False)
+    step = make_train_step(mc, opt)
     batch = batch_arrays(next(ds.batches(config.batch_size)))
     new_ts, _ = step(ts, batch, jax.random.PRNGKey(1))
     jax.block_until_ready(new_ts["params"]["embedding"]["table"])

@@ -158,7 +158,7 @@ def test_bucketed_train_step_matches_uncapped(tiny_config, tiny_corpus):
         return jax.device_put(init_train_state(jax.random.PRNGKey(0), mc,
                                                emb, opt))
 
-    full = make_train_step(mc, opt, use_pallas=False)
+    full = make_train_step(mc, opt)
     ts_a, m_a = full(fresh(), arrays, rng)
 
     from mmqg_tpu import decode as DEC
@@ -167,7 +167,7 @@ def test_bucketed_train_step_matches_uncapped(tiny_config, tiny_corpus):
     fcap = int(np.max(arrays["frames_len"]))
     assert acap < mc.av_max_length or fcap < mc.av_max_length, \
         "fixture does not exercise capping"
-    capped = make_train_step(mc, opt, use_pallas=False, audio_cap=acap,
+    capped = make_train_step(mc, opt, audio_cap=acap,
                              frames_cap=fcap)
     ts_b, m_b = capped(fresh(), arrays, rng)
 
@@ -191,8 +191,8 @@ def test_grad_accum_matches_full_batch(tiny_config, tiny_corpus):
         tiny_config, optim="sgd", dropout=0.0)
     rng = jax.random.PRNGKey(7)
 
-    step1 = make_train_step(mc, optimizer, use_pallas=False)
-    stepA = make_train_step(mc, optimizer, use_pallas=False, accum_steps=2)
+    step1 = make_train_step(mc, optimizer)
+    stepA = make_train_step(mc, optimizer, accum_steps=2)
     new1, m1 = step1(fresh(), batch, rng)
     newA, mA = stepA(fresh(), batch, rng)
 
@@ -223,9 +223,8 @@ def test_grad_accum_trimodal_bn_drift_bounded(tiny_config, tiny_corpus):
         tiny_config, mode="trimodal", optim="sgd", dropout=0.0)
     rng = jax.random.PRNGKey(11)
 
-    step1 = make_train_step(mc, optimizer, use_pallas=False,
-                            dtype=jnp.float32)
-    stepA = make_train_step(mc, optimizer, use_pallas=False, accum_steps=2,
+    step1 = make_train_step(mc, optimizer, dtype=jnp.float32)
+    stepA = make_train_step(mc, optimizer, accum_steps=2,
                             dtype=jnp.float32)
     ts0 = fresh()
     p0 = jax.tree.map(np.asarray, ts0["params"])
@@ -273,8 +272,8 @@ def test_grad_accum_partial_tail_batch(tiny_config, tiny_corpus):
     batch["valid"][4:] = False  # second microbatch contributes nothing
     rng = jax.random.PRNGKey(9)
 
-    step1 = make_train_step(mc, optimizer, use_pallas=False)
-    stepA = make_train_step(mc, optimizer, use_pallas=False, accum_steps=2)
+    step1 = make_train_step(mc, optimizer)
+    stepA = make_train_step(mc, optimizer, accum_steps=2)
     new1, m1 = step1(fresh(), batch, rng)
     newA, mA = stepA(fresh(), batch, rng)
     assert float(m1["objective"]) == pytest.approx(
@@ -331,8 +330,8 @@ def test_donate_off_matches_donated_step(tiny_config, tiny_corpus):
     mc, optimizer, fresh, batch = single_step_setup(
         tiny_config, optim="sgd", dropout=0.0)
     rng = jax.random.PRNGKey(3)
-    s1 = make_train_step(mc, optimizer, use_pallas=False, donate=True)
-    s2 = make_train_step(mc, optimizer, use_pallas=False, donate=False)
+    s1 = make_train_step(mc, optimizer, donate=True)
+    s2 = make_train_step(mc, optimizer, donate=False)
     new1, m1 = s1(fresh(), batch, rng)
     ts = fresh()
     new2, m2 = s2(ts, batch, rng)

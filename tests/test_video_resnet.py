@@ -186,7 +186,7 @@ def test_qg_model_resnet_end_to_end(tiny_config, tiny_corpus):
 
     def lf(p):
         loss, _ = qg_model.loss_fn(p, state, mc, batch, train=False,
-                                   use_pallas=False, dtype=_jnp.float32)
+                                   dtype=_jnp.float32)
         return loss
     loss, grads = jax.value_and_grad(lf)(params)
     assert np.isfinite(float(loss))
@@ -279,8 +279,7 @@ def test_remat_video_is_exact(tiny_config, tiny_corpus, backbone):
 
         def lf(p):
             loss, _ = qg_model.loss_fn(p, state, mc, batch, train=True,
-                                       dropout_rng=None, use_pallas=False,
-                                       dtype=jnp.float32)
+                                       dropout_rng=None, dtype=jnp.float32)
             return loss
         vg = jax.value_and_grad(lf)
         return (jax.jit(vg) if jit else vg)(params)

@@ -290,7 +290,7 @@ def check_gradients(composed, d: Dims, rtol=2e-3, atol=3e-5,
     # ---- jax side
     def lf(p):
         return qg_model.loss_fn(p, state, mc, batch, train=False,
-                                use_pallas=False, dtype=jnp.float32)[0]
+                                dtype=jnp.float32)[0]
     jloss, jgrads = jax.value_and_grad(lf)(params)
 
     # ---- torch side (same objective)
@@ -384,7 +384,7 @@ def check_training_equivalence(composed, d: Dims, steps: int = 12,
     opt = optax.adam(lr)
     ts = {"params": params, "model_state": state,
           "opt_state": opt.init(params), "step": jnp.zeros((), jnp.int32)}
-    step_fn = make_train_step(mc, opt, use_pallas=False, dtype=jnp.float32,
+    step_fn = make_train_step(mc, opt, dtype=jnp.float32,
                               donate=False)
 
     # ---- torch trainer (reference style, quirks normalised)
