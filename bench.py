@@ -138,4 +138,12 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--from-video" in sys.argv:
+        # joint mp4->questions with host/device overlap (PERF.md "Joint
+        # mp4->questions"; scripts/bench_joint_video.py for knobs)
+        sys.path.insert(0, str(REPO / "scripts"))
+        import bench_joint_video
+
+        bench_joint_video.run(out_json=True)
+    else:
+        main()

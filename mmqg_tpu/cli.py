@@ -38,6 +38,10 @@ def train_main(argv: Optional[List[str]] = None) -> None:
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--resume", action="store_true",
                         help="resume from the last checkpoint")
+    parser.add_argument("--resume-alias", default="last",
+                        help="checkpoint alias --resume starts from "
+                             "(default: last; e.g. 'pretrained' from "
+                             "scripts/convert_released_weights.py)")
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard training over all devices "
                              "(data axis of a (data, model) mesh); "
@@ -164,8 +168,9 @@ def train_main(argv: Optional[List[str]] = None) -> None:
                                           mode=args.mode, dec=args.decoder)
     trainer = Trainer(config, mc, emb, train_ds, val_ds, mesh=mesh,
                       profile_dir=args.profile_dir)
-    if args.resume and trainer.resume("last"):
-        print(f"resumed at epoch {trainer.start_epoch}")
+    if args.resume and trainer.resume(args.resume_alias):
+        print(f"resumed at epoch {trainer.start_epoch} "
+              f"(alias {args.resume_alias!r})")
     if args.nan_debug:
         from mmqg_tpu.utils import profiling
         with profiling.nan_debugging():

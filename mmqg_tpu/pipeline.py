@@ -105,19 +105,57 @@ class QGPipeline:
     def _pack(self, contexts: Sequence[str],
               frames: Optional[Sequence[Optional[np.ndarray]]],
               audio: Optional[Sequence[Optional[np.ndarray]]]) -> Dict:
+        """Pad/pack a request into one fixed-shape host batch.
+
+        AV buffers allocate at the request's BUCKET sizes, not av_max:
+        ``qg_model.encode`` accepts frames/PCM buffers shorter than the
+        model maximum (it pads memories back on device), and the encoder
+        programs are bucket-specialised anyway — shipping av_max-sized
+        buffers would only move padding over the host link (~12x the frame
+        bytes and ~8x the PCM bytes at the corpus' 8 s median span; on this
+        image's ~40 MB/s tunnel that is the difference between the joint
+        video benchmark being transfer-bound and host-decode-bound).
+        Program count stays bounded: shapes come from the same eighth-
+        granularity buckets decode.{frames,audio}_bucket already key
+        compiled variants on."""
         mc, config = self.mc, self.config
         n = len(contexts)
         rows = self._batch_bucket(n)
         Lc, Tav = mc.context_max_length, mc.av_max_length
         H = W = mc.frame_size
-        S = Tav * mc.sample_rate
+        S_max = Tav * mc.sample_rate
+
+        # first pass: true per-row AV lengths (+ normalised PCM), so the
+        # buffers below allocate at bucket size
+        f_lens = np.ones((rows,), np.int32)
+        a_lens = np.zeros((rows,), np.int32)
+        pcms: List[Optional[np.ndarray]] = [None] * rows
+        for i in range(n):
+            if frames is not None and frames[i] is not None:
+                f_lens[i] = max(1, min(frames[i].shape[0], Tav))
+            if audio is not None and audio[i] is not None:
+                pcm = np.asarray(audio[i])
+                if pcm.dtype != np.int16:
+                    pcm = np.clip(pcm * 32767.0, -32768,
+                                  32767).astype(np.int16)
+                pcms[i] = pcm[:S_max]
+                a_lens[i] = len(pcms[i])
+
+        fcap = DEC.frames_bucket(mc, f_lens)
+        acap = DEC.audio_bucket(mc, a_lens)
+        # samples covering acap WHOLE mel examples (log_mel_examples pads
+        # the rest on device); every example the length mask can count is
+        # inside this prefix
+        k = -(-mc.stft_window // mc.stft_hop)
+        s_need = min(S_max, (acap * mc.mel_frames + k - 1) * mc.stft_hop)
+
         batch = {
             "context_ids": np.zeros((rows, Lc), np.int32),
             "context_len": np.ones((rows,), np.int32),
-            "frames": np.zeros((rows, Tav, H, W, 3), np.uint8),
-            "frames_len": np.ones((rows,), np.int32),
-            "audio_pcm": np.zeros((rows, S), np.int16),
-            "audio_len": np.zeros((rows,), np.int32),
+            "frames": np.zeros((rows, fcap, H, W, 3), np.uint8),
+            "frames_len": f_lens,
+            "audio_pcm": np.zeros((rows, s_need), np.int16),
+            "audio_len": a_lens,
             "target_ids": np.zeros((rows, mc.target_steps), np.int32),
             "target_len": np.ones((rows,), np.int32),
             "valid": np.arange(rows) < n,
@@ -128,17 +166,11 @@ class QGPipeline:
             batch["context_ids"][i] = pad_to(ids, Lc)
             batch["context_len"][i] = max(1, min(len(ids), Lc))
             if frames is not None and frames[i] is not None:
-                fr = frames[i]
-                t = min(fr.shape[0], Tav)
-                batch["frames"][i, :t] = fr[:t]
-                batch["frames_len"][i] = max(1, t)
-            if audio is not None and audio[i] is not None:
-                pcm = np.asarray(audio[i])
-                if pcm.dtype != np.int16:
-                    pcm = np.clip(pcm * 32767.0, -32768, 32767).astype(np.int16)
-                s = min(len(pcm), S)
-                batch["audio_pcm"][i, :s] = pcm[:s]
-                batch["audio_len"][i] = s
+                t = f_lens[i]
+                batch["frames"][i, :t] = frames[i][:t]
+            if pcms[i] is not None:
+                s = min(a_lens[i], s_need)
+                batch["audio_pcm"][i, :s] = pcms[i][:s]
         return batch
 
     def calibrate_audio_int8(self, audio: Sequence[np.ndarray],

@@ -928,3 +928,53 @@ def test_gpipe_microbatch_round_trip():
     x = jnp.arange(24.0).reshape(8, 3)
     assert np.array_equal(np.asarray(unmicrobatch(microbatch(x, 4))),
                           np.asarray(x))
+
+
+# ------------------------------------------------------- TP coverage audit
+
+def test_tp_audit_catches_renamed_param(setup):
+    """A big matrix whose path no rule recognises must make param_shardings
+    raise on a model>1 mesh (round-2 VERDICT weak #7: renamed params used
+    to fall back to replicated with no signal)."""
+    from mmqg_tpu.parallel.mesh import audit_tp_coverage, param_shardings
+
+    mesh = make_mesh((4, 2))
+    stray = {"mystery": {"big_matrix": jnp.zeros((128, 128))}}
+    assert audit_tp_coverage(stray, mesh) == ["mystery/big_matrix (128, 128)"]
+    with pytest.raises(ValueError, match="mystery/big_matrix"):
+        param_shardings(stray, mesh)
+    # replicated-only meshes don't audit (nothing to shard over)
+    assert audit_tp_coverage(stray, make_mesh((8, 1))) == []
+
+
+def test_tp_audit_full_model_covered(setup, tiny_config):
+    """Every ndim>=2 leaf of both backbones AND the Adam state gets a rule
+    (or is allowlisted) — min_elements lowered so the tiny fixture's leaves
+    are all in scope."""
+    import optax
+    from mmqg_tpu.parallel.mesh import audit_tp_coverage
+
+    config, mc, optimizer, fresh_ts, batch = setup
+    mesh = make_mesh((4, 2))
+    ts = fresh_ts()
+    assert audit_tp_coverage(ts["params"], mesh, min_elements=64) == []
+    assert audit_tp_coverage(ts["opt_state"], mesh, min_elements=64) == []
+
+    cfgR = tiny_config.replace(video_encoder="resnet")
+    mcR = qg_model.ModelConfig.from_config(cfgR, n_vocab=40, mode="trimodal")
+    emb = np.random.RandomState(0).randn(40, mcR.word_emb_dim).astype(np.float32)
+    pR, _ = qg_model.init(jax.random.PRNGKey(0), mcR, emb)
+    assert audit_tp_coverage(pR, mesh, min_elements=64) == []
+
+
+def test_attn_heads_row_parallel_spec(setup):
+    """The attention location heads ((H+E, L) with prime L) shard their
+    contraction dim (row-parallel; GSPMD psums the partial scores) — the
+    leaves the index-keyed paths used to silently replicate."""
+    config, mc, optimizer, fresh_ts, batch = setup
+    mesh = make_mesh((4, 2))
+    sh = param_shardings(fresh_ts()["params"], mesh)
+    attn = sh["decoder"]["attn"]
+    assert attn.w_text.spec[0] == "model", attn.w_text.spec
+    assert attn.w_video.spec[0] == "model", attn.w_video.spec
+    assert attn.w_audio.spec[0] == "model", attn.w_audio.spec

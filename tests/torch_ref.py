@@ -455,3 +455,179 @@ def check_greedy(composed, d: Dims, log=lambda *a: None):
         assert all(t == PAD_ID for t in ours[b][len(ref_toks):])
         log(f"sample {b}: greedy tokens identical ({len(ref_toks)} tokens)")
     return ours
+
+
+def make_rule_batch(d: Dims, n: int, seed: int):
+    """n samples whose question is a DETERMINISTIC function of the context
+    (class rule: the first context token's parity picks which of two fixed
+    questions follows). Trainable to convergence in a few hundred batch-1
+    Adam steps at tiny dims, and a held-out batch drawn from the same rule
+    measures generalisation — final val loss and BLEU become model-quality
+    numbers, not memorisation. (A token-copy rule was tried first: both
+    sides track each other to 4 decimals for 480+ steps but need far more
+    steps than a CI-sized run to generalise, so the endpoint BLEU stayed 0
+    on both sides — trajectory-equivalent but not a convergence claim.)"""
+    rng = np.random.RandomState(seed)
+    ctx = rng.randint(3, d.V, (n, d.CTX_MAX)).astype(np.int32)
+    # force both classes present regardless of n/seed
+    ctx[:, 0] = 4 + (ctx[:, 0] % 2) * 2 + np.arange(n) % 2
+    cls = (ctx[:, 0] % 2).astype(np.int32)                   # 0 or 1
+    body = np.stack([3 + cls + 2 * t for t in range(d.TGT - 1)],
+                    axis=1)                                  # class-coded
+    tgt = np.concatenate([body, np.full((n, 1), END_ID, np.int32)], axis=1)
+    audio_len = np.full((n,), d.WIN + d.HOP * (2 * d.MEL_F - 1), np.int32)
+    t_frames = min(2, d.AV_MAX)
+    return {
+        "context_ids": ctx,
+        "context_len": np.full((n,), d.CTX_MAX, np.int32),
+        "frames": rng.randint(0, 255, (n, t_frames, d.FRAME, d.FRAME, 3)
+                              ).astype(np.uint8),
+        "frames_len": np.full((n,), t_frames, np.int32),
+        "audio_pcm": (rng.randn(n, int(audio_len.max())) * 3000
+                      ).astype(np.int16),
+        "audio_len": audio_len,
+        "target_ids": tgt,
+        "target_len": np.full((n,), d.TGT, np.int32),
+    }
+
+
+def check_convergence_equivalence(composed, d: Dims, *, n_train: int = 8,
+                                  n_val: int = 4, max_epochs: int = 60,
+                                  lr: float = 5e-3, stop_loss: float = 0.05,
+                                  loss_rtol: float = 0.05,
+                                  bleu_atol: float = 0.05,
+                                  log=lambda *a: None):
+    """TRAINED-TO-CONVERGENCE equivalence (round-2 VERDICT missing #3):
+    reference-style torch training (per-sample loop, Adam — train.py:131-218)
+    and our jitted trainer, from the SAME init on the SAME sample order over
+    a learnable rule corpus, run until the torch side's epoch loss drops
+    under ``stop_loss`` (or max_epochs); then FINAL val loss and FINAL
+    greedy-decode BLEU on a held-out batch (evaluate.py:107-126 semantics)
+    must agree within the stated tolerances. Extends the 12-step trajectory
+    proof (check_training_equivalence — same optimizer-quirk
+    normalisation) into a measured end-state claim. Returns the numbers for
+    PARITY.md."""
+    import optax
+
+    from mmqg_tpu import metrics as M
+    from mmqg_tpu.train import make_train_step
+
+    modules, mc, params, state, _ = composed
+    train_b = make_rule_batch(d, n_train, seed=11)
+    val_b = make_rule_batch(d, n_val, seed=13)
+    T = d.TGT
+
+    opt = optax.adam(lr)
+    ts = {"params": params, "model_state": state,
+          "opt_state": opt.init(params), "step": jnp.zeros((), jnp.int32)}
+    step_fn = make_train_step(mc, opt, dtype=jnp.float32, donate=False)
+
+    for m in modules.values():
+        m.train()
+    torch_params = list(modules["emb"].parameters())
+    for name in ("text", "video", "vggish", "dec"):
+        for pname, p in modules[name].named_parameters():
+            if "bias_hh" in pname:
+                p.requires_grad_(False)  # torch dual-bias quirk, see
+                #                          check_training_equivalence
+            else:
+                torch_params.append(p)
+    topt = torch.optim.Adam(torch_params, lr=lr)
+
+    def torch_step(sample):
+        topt.zero_grad()
+        mems, lens, hidden = oracle_encode(modules, d, sample, 0, grad=True)
+        tok, loss = START_ID, 0.0
+        for t in range(T):
+            e = modules["emb"](torch.tensor([[tok]]))[0]
+            logits, hidden = modules["dec"](e, mems, lens, hidden)
+            loss = loss + F.cross_entropy(
+                logits, torch.tensor([int(sample["target_ids"][0, t])]))
+            tok = int(sample["target_ids"][0, t])
+        loss.backward()
+        topt.step()
+        return float(loss.detach()) / T
+
+    rng = jax.random.PRNGKey(3)
+    epochs_run, j_epoch, t_epoch = 0, [], []
+    for ep in range(max_epochs):
+        j_sum = t_sum = 0.0
+        for b in range(n_train):
+            sample = {k: np.asarray(v[b:b + 1]) for k, v in train_b.items()}
+            ts, mets = step_fn(ts, jax.device_put(sample),
+                               jax.random.fold_in(rng, ep * n_train + b))
+            j_sum += float(mets["loss"])
+            t_sum += torch_step(sample)
+        j_epoch.append(j_sum / n_train)
+        t_epoch.append(t_sum / n_train)
+        epochs_run = ep + 1
+        log(f"epoch {ep}: jax {j_epoch[-1]:.4f} torch {t_epoch[-1]:.4f}")
+        if t_epoch[-1] < stop_loss and j_epoch[-1] < stop_loss:
+            break
+    assert t_epoch[-1] < max(stop_loss, 0.5 * t_epoch[0]), (
+        f"torch side did not converge: {t_epoch[0]:.3f} -> {t_epoch[-1]:.3f}")
+
+    # ---- final VAL loss (mean per-sample summed CE, loss_fn's objective)
+    for m in modules.values():
+        m.eval()
+    jb = {k: jnp.asarray(v) for k, v in val_b.items()}
+    jb["valid"] = jnp.ones((n_val,), bool)
+    j_val = float(qg_model.loss_fn(ts["params"], ts["model_state"], mc, jb,
+                                   train=False, dropout_rng=None,
+                                   dtype=jnp.float32)[0])
+    t_val = 0.0
+    for b in range(n_val):
+        sample = {k: np.asarray(v[b:b + 1]) for k, v in val_b.items()}
+        with torch.no_grad():
+            mems, lens, hidden = oracle_encode(modules, d, sample, 0)
+            tok, loss = START_ID, 0.0
+            for t in range(T):
+                e = modules["emb"](torch.tensor([[tok]]))[0]
+                logits, hidden = modules["dec"](e, mems, lens, hidden)
+                loss = loss + F.cross_entropy(
+                    logits, torch.tensor([int(sample["target_ids"][0, t])]))
+                tok = int(sample["target_ids"][0, t])
+        t_val += float(loss)
+    t_val /= n_val
+    assert abs(j_val - t_val) <= loss_rtol * abs(t_val), (
+        f"final val loss: jax {j_val:.4f} vs torch {t_val:.4f}")
+
+    # ---- final greedy-decode BLEU on the held-out batch (evaluate.py
+    # semantics: decode to END/PAD, corpus BLEU vs the rule targets)
+    ours = np.asarray(DEC.decode_batch(
+        ts["params"], ts["model_state"], mc, jb, jax.random.PRNGKey(0),
+        strategy="greedy", max_len=T, use_pallas=False, dtype=jnp.float32))
+
+    def _trim(toks):
+        out = []
+        for t in toks:
+            if t in (END_ID, PAD_ID):
+                break
+            out.append(int(t))
+        return out
+
+    refs = [[_trim(val_b["target_ids"][b])] for b in range(n_val)]
+    hyp_j = [_trim(ours[b]) for b in range(n_val)]
+    hyp_t = []
+    for b in range(n_val):
+        sample = {k: np.asarray(v[b:b + 1]) for k, v in val_b.items()}
+        with torch.no_grad():
+            mems, lens, hidden = oracle_encode(modules, d, sample, 0)
+            tok, toks = START_ID, []
+            for _ in range(T):
+                e = modules["emb"](torch.tensor([[tok]]))[0]
+                logits, hidden = modules["dec"](e, mems, lens, hidden)
+                tok = int(torch.argmax(logits[0]))
+                if tok in (END_ID, PAD_ID):
+                    break
+                toks.append(tok)
+        hyp_t.append(toks)
+    bleu_j = M.corpus_bleu(refs, hyp_j)
+    bleu_t = M.corpus_bleu(refs, hyp_t)
+    assert abs(bleu_j - bleu_t) <= bleu_atol, (
+        f"final BLEU: jax {bleu_j:.4f} vs torch {bleu_t:.4f}")
+    return {"epochs": epochs_run, "train_loss_first": t_epoch[0],
+            "train_loss_last_jax": j_epoch[-1],
+            "train_loss_last_torch": t_epoch[-1],
+            "val_loss_jax": j_val, "val_loss_torch": t_val,
+            "bleu_jax": bleu_j, "bleu_torch": bleu_t}
