@@ -75,6 +75,38 @@ def test_composed_training_trajectory_equivalence():
     check_training_equivalence(fresh, DIMS)
 
 
+def test_composed_convergence_equivalence():
+    """CI-sized leg of the trained-to-convergence claim (round-2 VERDICT
+    missing #3): reference-style torch training vs our jitted trainer on the
+    learnable rule corpus, run with a small epoch budget; final val loss and
+    final greedy-decode BLEU must agree. scripts/convergence_parity.py is
+    the full run (torch trained to the measured exact-decode threshold)
+    whose endpoint numbers PARITY.md records; this test exercises the
+    identical shared machinery
+    (tests/torch_ref.py::check_convergence_equivalence) end to end. Uses
+    NL=1 / TGT=4 dims — the same dims as the full run (see
+    scripts/convergence_parity.py for why longer bodies were rejected) —
+    so each epoch is 8 batch-1 steps on both sides.
+    Builds its OWN composed model: the check mutates the torch weights."""
+    from tests.torch_ref import check_convergence_equivalence
+
+    dims = Dims(V=40, EMB=8, H=16, NL=1, HV=16, HA=8, CTX_MAX=12, AV_MAX=4,
+                TGT=4, FRAME=45, MEL_F=32, MEL_B=32, RATE=1600, WIN=64,
+                HOP=32)
+    fresh = build_composed(dims, seed=0, tame_audio=True)
+    out = check_convergence_equivalence(
+        fresh, dims, n_train=8, n_val=4, max_epochs=30, lr=5e-3,
+        # CI budget: both sides must have converged RELATIVELY (torch loss
+        # halves — asserted inside) and agree at the endpoint; the
+        # full plateau convergence is the script's job.
+        stop_loss=0.05)
+    # the endpoint agreement asserts live inside the check; sanity-pin the
+    # returned record so a silently-degenerate run (0 epochs, NaNs) fails
+    assert out["epochs"] >= 2
+    assert np.isfinite(out["val_loss_jax"]) and np.isfinite(
+        out["val_loss_torch"])
+
+
 def test_composed_export_round_trip(composed):
     """Imported reference checkpoint -> export_checkpoint reproduces the
     original four state_dicts (fixpoint through the composed mapping)."""

@@ -129,14 +129,34 @@ class RefAttnDecoder(nn.Module):
         return self.out_layer(out[0]), hidden
 
 
-def build_composed(d: Dims, seed: int = 0):
-    """Torch reference model + imported jax model + a 2-sample batch."""
+def build_composed(d: Dims, seed: int = 0, tame_audio: bool = False):
+    """Torch reference model + imported jax model + a 2-sample batch.
+
+    ``tame_audio``: re-init the VGGish stack to unit gain (Xavier-normal
+    weights, zero biases) BEFORE the state_dicts are exported, so both
+    sides stay identical. Torch's default init amplifies ~1e6 through the
+    9-layer audio stack at tiny dims — audio memories hit ~1e7, every
+    decoder gate saturates to exactly +-1, and the whole model becomes
+    insensitive to its other inputs (measured: losses bit-identical under
+    wholesale frame/PCM replacement after one optimizer step). The real
+    reference runs PRETRAINED hub VGGish (model/encoder.py:12) whose
+    output scale is O(1); this flag is the tiny-dims stand-in for that,
+    used by the trained-to-convergence checks. Parity/oracle tests keep
+    the default (raw torch init) — saturation is irrelevant to them and
+    the rawer numbers stress the import path harder."""
     torch.manual_seed(seed)
     emb_layer = nn.Embedding(d.V, d.EMB)
     text_lstm = nn.LSTM(d.EMB, d.H, d.NL)
     video = RefVideoEncoder(d.FLAT, d.HV)
     vggish = TorchVGGish(d.MEL_F, d.MEL_B, d.HA)
     dec = RefAttnDecoder(d)
+    if tame_audio:
+        with torch.no_grad():
+            for p in vggish.parameters():
+                if p.dim() >= 2:
+                    nn.init.xavier_normal_(p)
+                else:
+                    p.zero_()
     for m in (video, vggish, dec):
         m.eval()
     with torch.no_grad():
@@ -459,19 +479,23 @@ def check_greedy(composed, d: Dims, log=lambda *a: None):
 
 def make_rule_batch(d: Dims, n: int, seed: int):
     """n samples whose question is a DETERMINISTIC function of the context
-    (class rule: the first context token's parity picks which of two fixed
-    questions follows). Trainable to convergence in a few hundred batch-1
-    Adam steps at tiny dims, and a held-out batch drawn from the same rule
-    measures generalisation — final val loss and BLEU become model-quality
-    numbers, not memorisation. (A token-copy rule was tried first: both
-    sides track each other to 4 decimals for 480+ steps but need far more
-    steps than a CI-sized run to generalise, so the endpoint BLEU stayed 0
-    on both sides — trajectory-equivalent but not a convergence claim.)"""
+    (class rule: the shared parity of the context tokens picks which of two
+    fixed questions follows — EVERY context token carries the class bit, so
+    the rule does not hinge on the tiny text LSTM holding one token in
+    memory across CTX_MAX steps). Trainable to convergence in a few hundred
+    batch-1 Adam steps at tiny dims, and a held-out batch drawn from the
+    same rule measures generalisation — final val loss and BLEU become
+    model-quality numbers, not memorisation. (Two rules were tried and
+    rejected first: token-copy — both sides track each other to 4 decimals
+    for 480+ steps but endpoint BLEU stays 0 on both sides, trajectory-
+    equivalent but not a convergence claim; first-token-parity — plateaus
+    above loss 1.2 after 3200 steps at lr 3e-3/5e-3 because the class bit
+    must survive 12 recurrence steps at H=16.)"""
     rng = np.random.RandomState(seed)
-    ctx = rng.randint(3, d.V, (n, d.CTX_MAX)).astype(np.int32)
-    # force both classes present regardless of n/seed
-    ctx[:, 0] = 4 + (ctx[:, 0] % 2) * 2 + np.arange(n) % 2
-    cls = (ctx[:, 0] % 2).astype(np.int32)                   # 0 or 1
+    cls = (np.arange(n) % 2).astype(np.int32)                # 0 or 1
+    # every context token's parity encodes the class: ids 3+cls, 5+cls, ...
+    half = rng.randint(0, (d.V - 4) // 2, (n, d.CTX_MAX)).astype(np.int32)
+    ctx = (3 + cls[:, None] + 2 * half).astype(np.int32)
     body = np.stack([3 + cls + 2 * t for t in range(d.TGT - 1)],
                     axis=1)                                  # class-coded
     tgt = np.concatenate([body, np.full((n, 1), END_ID, np.int32)], axis=1)
@@ -494,14 +518,20 @@ def make_rule_batch(d: Dims, n: int, seed: int):
 def check_convergence_equivalence(composed, d: Dims, *, n_train: int = 8,
                                   n_val: int = 4, max_epochs: int = 60,
                                   lr: float = 5e-3, stop_loss: float = 0.05,
+                                  plateau_window: int = 20,
+                                  plateau_rtol: float = 0.02,
                                   loss_rtol: float = 0.05,
                                   bleu_atol: float = 0.05,
                                   log=lambda *a: None):
     """TRAINED-TO-CONVERGENCE equivalence (round-2 VERDICT missing #3):
     reference-style torch training (per-sample loop, Adam — train.py:131-218)
     and our jitted trainer, from the SAME init on the SAME sample order over
-    a learnable rule corpus, run until the torch side's epoch loss drops
-    under ``stop_loss`` (or max_epochs); then FINAL val loss and FINAL
+    a learnable rule corpus, run until CONVERGED — both epoch losses under
+    ``stop_loss``, or both plateaued (epoch loss improved < ``plateau_rtol``
+    relative over the last ``plateau_window`` epochs; the rule corpus
+    reaches exact greedy decodes while per-token CE is still ~0.26 and
+    decaying harmonically, so an absolute threshold alone would misread
+    "converged") — capped at ``max_epochs``; then FINAL val loss and FINAL
     greedy-decode BLEU on a held-out batch (evaluate.py:107-126 semantics)
     must agree within the stated tolerances. Extends the 12-step trajectory
     proof (check_training_equivalence — same optimizer-quirk
@@ -564,6 +594,13 @@ def check_convergence_equivalence(composed, d: Dims, *, n_train: int = 8,
         log(f"epoch {ep}: jax {j_epoch[-1]:.4f} torch {t_epoch[-1]:.4f}")
         if t_epoch[-1] < stop_loss and j_epoch[-1] < stop_loss:
             break
+        if (ep + 1 > plateau_window
+                and t_epoch[-1 - plateau_window] - t_epoch[-1]
+                < plateau_rtol * t_epoch[-1]
+                and j_epoch[-1 - plateau_window] - j_epoch[-1]
+                < plateau_rtol * j_epoch[-1]):
+            log(f"plateaued at epoch {ep}")
+            break
     assert t_epoch[-1] < max(stop_loss, 0.5 * t_epoch[0]), (
         f"torch side did not converge: {t_epoch[0]:.3f} -> {t_epoch[-1]:.3f}")
 
@@ -622,12 +659,21 @@ def check_convergence_equivalence(composed, d: Dims, *, n_train: int = 8,
                     break
                 toks.append(tok)
         hyp_t.append(toks)
-    bleu_j = M.corpus_bleu(refs, hyp_j)
-    bleu_t = M.corpus_bleu(refs, hyp_t)
-    assert abs(bleu_j - bleu_t) <= bleu_atol, (
-        f"final BLEU: jax {bleu_j:.4f} vs torch {bleu_t:.4f}")
-    return {"epochs": epochs_run, "train_loss_first": t_epoch[0],
-            "train_loss_last_jax": j_epoch[-1],
-            "train_loss_last_torch": t_epoch[-1],
-            "val_loss_jax": j_val, "val_loss_torch": t_val,
-            "bleu_jax": bleu_j, "bleu_torch": bleu_t}
+    # the reference's full metric family (train.py:112-128 logs BLEU and
+    # BLEU-1/2/3 every epoch) — at tiny dims the question bodies are 3
+    # tokens, so 4-gram BLEU is degenerate (no 4-grams exist on either
+    # side); BLEU-1/2/3 and the exact-match count carry the claim
+    out = {"epochs": epochs_run, "train_loss_first": t_epoch[0],
+           "train_loss_last_jax": j_epoch[-1],
+           "train_loss_last_torch": t_epoch[-1],
+           "val_loss_jax": j_val, "val_loss_torch": t_val,
+           "exact_match_jax": sum(h == r[0] for h, r in zip(hyp_j, refs)),
+           "exact_match_torch": sum(h == r[0] for h, r in zip(hyp_t, refs)),
+           "n_val": n_val}
+    for key, w in M.BLEU_WEIGHTS.items():
+        bleu_j = M.corpus_bleu(refs, hyp_j, weights=w)
+        bleu_t = M.corpus_bleu(refs, hyp_t, weights=w)
+        assert abs(bleu_j - bleu_t) <= bleu_atol, (
+            f"final {key}: jax {bleu_j:.4f} vs torch {bleu_t:.4f}")
+        out[f"{key}_jax"], out[f"{key}_torch"] = bleu_j, bleu_t
+    return out
