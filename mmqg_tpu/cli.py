@@ -63,6 +63,13 @@ def train_main(argv: Optional[List[str]] = None) -> None:
                              "model axis (needs --data-parallel and "
                              "mesh_shape with model axis > 1); sets "
                              "config sequence_parallel_train")
+    parser.add_argument("--sp-gather-free", action="store_true",
+                        help="with --sequence-parallel: run the decoder's "
+                             "text attention as the explicit gather-free "
+                             "distributed softmax (O(B*H) per-step "
+                             "communication independent of context length, "
+                             "ops/attention_sp.py) instead of letting GSPMD "
+                             "place the gather; sets config sp_gather_free")
     parser.add_argument("--streaming", action="store_true",
                         help="stream batches from disk (double-buffered "
                              "C++ pack pool) instead of materialising the "
@@ -121,6 +128,11 @@ def train_main(argv: Optional[List[str]] = None) -> None:
         config = config.replace(video_encoder=args.video_encoder)
     if args.sequence_parallel:
         config = config.replace(sequence_parallel_train=True)
+    if args.sp_gather_free:
+        if not (args.sequence_parallel or config.sequence_parallel_train):
+            raise SystemExit("--sp-gather-free requires --sequence-parallel "
+                             "(it selects HOW the SP attention communicates)")
+        config = config.replace(sp_gather_free=True)
     if args.zero1:
         config = config.replace(zero1=True)
     if args.fsdp:

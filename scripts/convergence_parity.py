@@ -40,7 +40,10 @@ DIMS = Dims(V=40, EMB=8, H=16, NL=1, HV=16, HA=8, CTX_MAX=12, AV_MAX=4,
 
 def main():
     max_epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 200
-    lr = float(sys.argv[2]) if len(sys.argv) > 2 else 3e-3
+    # default = the exact configuration PARITY.md's recorded run used
+    # (lr 5e-3 reached exact val decodes at epoch 191): a bare
+    # `python scripts/convergence_parity.py` reproduces those numbers
+    lr = float(sys.argv[2]) if len(sys.argv) > 2 else 5e-3
     composed = build_composed(DIMS, seed=0, tame_audio=True)
     t0 = time.time()
     out = check_convergence_equivalence(

