@@ -140,6 +140,13 @@ def _get_media_lib_locked() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_int, ctypes.c_double,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double)]
+    lib.mmqg_decode_frames_idx2.restype = ctypes.c_long
+    lib.mmqg_decode_frames_idx2.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_long), ctypes.c_long,
+        ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double)]
     lib.mmqg_write_test_tone_mp4.restype = ctypes.c_long
     lib.mmqg_write_test_tone_mp4.argtypes = [
         ctypes.c_char_p, ctypes.c_double, ctypes.c_int]
@@ -234,15 +241,24 @@ def video_info(path) -> Optional[dict]:
 
 
 def decode_frames(path, indices, size: int, *,
-                  seek_ahead_s: float = 0.0):
+                  seek_ahead_s: float = 0.0, skip: Optional[bool] = None,
+                  legs: Optional[dict] = None):
     """Video frames by display index (any order, unique) resized to
     ``size``x``size`` BGR uint8 — the cv2 salient-frame byte layout.
 
     Seeks to the keyframe at/before each target instead of decoding the
-    whole file (native/mmqg_media.cpp mmqg_decode_frames_idx) — the
+    whole file (native/mmqg_media.cpp mmqg_decode_frames_idx2) — the
     prep-path win for sparse question spans in long videos. Index→pts
     mapping is exact integer tick arithmetic learned from the first two
     frames, immune to the container's skewed avg_frame_rate.
+
+    ``skip`` (default on; ``MMQG_FRAME_SKIP=0`` disables globally) lets the
+    DECODER skip reconstructing frames between targets: adaptive
+    NONKEY→NONREF→none with per-file sticky downgrade when a target itself
+    would be skipped. Emitted bytes are identical in every mode — skipped
+    frames are never emitted and never referenced by emitted ones (see
+    mmqg_media.cpp). ``legs``: optional dict that receives the per-stage
+    wall-clock breakdown {open_s, seek_s, decode_s, sws_s}.
 
     Returns (frames, found, pts_s, tick_s): frames uint8 (n, size, size, 3),
     found a bool mask (False where the index had no frame: past EOF, or a
@@ -253,6 +269,8 @@ def decode_frames(path, indices, size: int, *,
     lib = get_media_lib()
     if lib is None:
         return None
+    if skip is None:
+        skip = os.environ.get("MMQG_FRAME_SKIP", "1") != "0"
     idx = np.asarray(indices, np.int64)
     order = np.argsort(idx, kind="stable")  # C side requires ascending
     sorted_idx = np.ascontiguousarray(idx[order])
@@ -260,14 +278,19 @@ def decode_frames(path, indices, size: int, *,
     found = np.zeros((len(idx),), np.uint8)
     pts = np.zeros((len(idx),), np.float64)
     tick = ctypes.c_double(0.0)
-    rc = lib.mmqg_decode_frames_idx(
+    leg_arr = np.zeros((4,), np.float64)
+    rc = lib.mmqg_decode_frames_idx2(
         str(path).encode(),
         sorted_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
-        len(idx), size, size, float(seek_ahead_s),
+        len(idx), size, size, float(seek_ahead_s), 1 if skip else 0,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         found.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        ctypes.byref(tick))
+        ctypes.byref(tick),
+        leg_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if legs is not None:
+        legs.update(open_s=float(leg_arr[0]), seek_s=float(leg_arr[1]),
+                    decode_s=float(leg_arr[2]), sws_s=float(leg_arr[3]))
     if rc == -2:
         raise ValueError(f"{path}: no video stream")
     if rc < 0:

@@ -26,9 +26,16 @@ extern "C" {
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <ctime>
 #include <vector>
 
 namespace {
+
+inline double now_s() {
+  timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return ts.tv_sec + 1e-9 * ts.tv_nsec;
+}
 
 __attribute__((constructor)) void mmqg_media_quiet_logs() {
   av_log_set_level(AV_LOG_ERROR);  // encoders chat on stderr otherwise
@@ -285,6 +292,23 @@ long mmqg_media_video_info(const char* path, double* fps, double* duration_s,
 // redundant seek, so dense ~1 fps sampling inside a span costs one seek per
 // span, not per frame.
 //
+// skip_mode != 0 enables ADAPTIVE decoder-level frame skipping for the
+// frames between targets (the ~1 fps sampling only keeps every
+// ceil(fps)-th frame; the rest decode purely to carry reference state):
+// start at AVDISCARD_NONKEY (only keyframes reconstruct — a huge win when
+// the sampling grid lands on keyframes, e.g. GOP == fps); when a target
+// frame was itself skipped, seek back and retry at the next weaker level
+// (NONREF: only non-reference B-frames skipped — their reconstruction
+// feeds nothing, so emitted frames stay BIT-IDENTICAL; then no skipping).
+// The downgrade is sticky for the rest of the file (GOP structure is
+// uniform), so misalignment costs at most two partial-GOP retries per
+// file. Emitted bytes are identical in every mode — skipping only elides
+// frames that are never emitted and never referenced by emitted ones.
+//
+// legs (optional, double[4]): accumulated wall-clock seconds per stage —
+// {open (demux probe + codec open), seek (+flush), decode (read/send/
+// receive), swscale} — the host-prep profile's data source.
+//
 // out: n * out_h * out_w * 3 bytes. found[i]: 1 where frame indices[i] was
 // decoded (past-EOF / pts-mismatch slots stay 0, out slot untouched).
 // pts_out[i] (optional): the frame's pts in seconds RELATIVE to the first
@@ -292,17 +316,20 @@ long mmqg_media_video_info(const char* path, double* fps, double* duration_s,
 // reconstruct neighbour timestamps (e.g. cv2's CAP_PROP_POS_MSEC reads
 // lagged by one frame) without another decode.
 // Returns count found; -1 io/parse/decode error; -2 no video stream.
-long mmqg_decode_frames_idx(const char* path, const long* indices, long n,
-                            int out_w, int out_h, double seek_ahead_s,
-                            uint8_t* out, uint8_t* found, double* pts_out,
-                            double* tick_s) {
+long mmqg_decode_frames_idx2(const char* path, const long* indices, long n,
+                             int out_w, int out_h, double seek_ahead_s,
+                             int skip_mode, uint8_t* out, uint8_t* found,
+                             double* pts_out, double* tick_s, double* legs) {
   if (!path || !indices || !out || !found || n < 0 || out_w <= 0 ||
       out_h <= 0)
     return -1;
   if (n == 0) return 0;
   if (seek_ahead_s <= 0) seek_ahead_s = 2.0;
+  double t_open = 0, t_seek = 0, t_dec = 0, t_sws = 0;
+  double t0 = now_s();
   Demux d;
   int rc = d.open(path, AVMEDIA_TYPE_VIDEO);
+  t_open = now_s() - t0;
   if (rc != 0) return rc;
   AVStream* st = d.fmt->streams[d.stream];
   const double tb = av_q2d(st->time_base);
@@ -322,6 +349,7 @@ long mmqg_decode_frames_idx(const char* path, const long* indices, long n,
   const size_t frame_bytes = (size_t)out_w * out_h * 3;
 
   auto emit = [&](const AVFrame* src, long i) -> bool {
+    double te = now_s();
     if (!sws || src->width != sws_w || src->height != sws_h ||
         (AVPixelFormat)src->format != sws_fmt) {
       if (sws) sws_freeContext(sws);
@@ -341,18 +369,21 @@ long mmqg_decode_frames_idx(const char* path, const long* indices, long n,
     int strides[4] = {out_w * 3, 0, 0, 0};
     sws_scale(sws, src->data, src->linesize, 0, src->height, dst, strides);
     found[i] = 1;
+    t_sws += now_s() - te;
     return true;
   };
 
   // Demux/decode pump: next video frame into `f`. 0 ok, 1 EOF, -1 error.
   bool draining = false;
   auto next_frame = [&](AVFrame* f) -> int {
+    double td = now_s();
+    int out_rc;
     while (true) {
       int r = avcodec_receive_frame(d.dec, f);
-      if (r == 0) return 0;
-      if (r == AVERROR_EOF) return 1;
-      if (r != AVERROR(EAGAIN)) return -1;
-      if (draining) return 1;  // defensive; EAGAIN after drain-send is odd
+      if (r == 0) { out_rc = 0; break; }
+      if (r == AVERROR_EOF) { out_rc = 1; break; }
+      if (r != AVERROR(EAGAIN)) { out_rc = -1; break; }
+      if (draining) { out_rc = 1; break; }  // defensive; EAGAIN after drain
       int rr = av_read_frame(d.fmt, pkt);
       if (rr < 0) {
         draining = true;
@@ -365,8 +396,10 @@ long mmqg_decode_frames_idx(const char* path, const long* indices, long n,
       }
       rr = avcodec_send_packet(d.dec, pkt);
       av_packet_unref(pkt);
-      if (rr < 0 && rr != AVERROR(EAGAIN)) return -1;
+      if (rr < 0 && rr != AVERROR(EAGAIN)) { out_rc = -1; break; }
     }
+    t_dec += now_s() - td;
+    return out_rc;
   };
 
   auto pts_of = [&](const AVFrame* f) -> int64_t {
@@ -374,7 +407,16 @@ long mmqg_decode_frames_idx(const char* path, const long* indices, long n,
     return (pts == AV_NOPTS_VALUE) ? INT64_MIN : pts;
   };
 
-  // Learn the CFR grid from the first two frames.
+  // skip levels: 2 = NONKEY, 1 = NONREF, 0 = decode everything
+  auto set_skip = [&](int level) {
+    d.dec->skip_frame = level >= 2   ? AVDISCARD_NONKEY
+                        : level == 1 ? AVDISCARD_NONREF
+                                     : AVDISCARD_DEFAULT;
+  };
+  int skip_level = skip_mode ? 2 : 0;
+
+  // Learn the CFR grid from the first two frames (skip disabled: frame 1
+  // may be a non-key frame the skip modes would elide).
   int64_t pts0 = 0, dt = 0;
   {
     if (next_frame(frame) != 0) {
@@ -402,54 +444,78 @@ long mmqg_decode_frames_idx(const char* path, const long* indices, long n,
     bool at_eof = false, failed = false;
     long written = 0;
 
+    auto seek_to = [&](int64_t ts) -> bool {
+      double tsk = now_s();
+      bool ok = av_seek_frame(d.fmt, d.stream, ts, AVSEEK_FLAG_BACKWARD) >= 0;
+      if (ok) {
+        avcodec_flush_buffers(d.dec);
+        cur_pts = INT64_MIN;
+        at_eof = draining = false;
+      }
+      t_seek += now_s() - tsk;
+      return ok;
+    };
+
     // restart clean so index 0 is reachable
-    if (av_seek_frame(d.fmt, d.stream, pts0, AVSEEK_FLAG_BACKWARD) < 0) {
+    if (!seek_to(pts0)) {
       rc = -1;
       goto cleanup;
     }
-    avcodec_flush_buffers(d.dec);
-    draining = false;
+    set_skip(skip_level);
 
     for (long i = 0; i < n && !failed; ++i) {
       if (indices[i] < 0) continue;
       const int64_t target = pts0 + indices[i] * dt;
-      if (target < cur_pts ||
-          (target > cur_pts + ahead_ticks && !at_eof)) {
-        if (av_seek_frame(d.fmt, d.stream, target, AVSEEK_FLAG_BACKWARD) >=
-            0) {
-          avcodec_flush_buffers(d.dec);
-          cur_pts = INT64_MIN;
-          at_eof = draining = false;
+      while (true) {
+        if (target < cur_pts ||
+            (target > cur_pts + ahead_ticks && !at_eof)) {
+          // seek failure (unseekable input): continue linearly from here
+          seek_to(target);
         }
-        // seek failure (unseekable input): continue linearly from here
-      }
-      // Decode forward to the exact target pts.
-      while (!at_eof && !failed && cur_pts < target) {
-        int r = next_frame(frame);
-        if (r < 0) {
-          failed = true;
-          break;
+        // Decode forward to the exact target pts.
+        bool emitted = false;
+        while (!at_eof && !failed && cur_pts < target) {
+          int r = next_frame(frame);
+          if (r < 0) {
+            failed = true;
+            break;
+          }
+          if (r == 1) {
+            at_eof = true;
+            break;
+          }
+          int64_t p = pts_of(frame);
+          if (p == INT64_MIN) p = cur_pts == INT64_MIN ? target - 1 : cur_pts;
+          cur_pts = p;
+          if (p == target) {
+            if (!emit(frame, i)) failed = true;
+            if (pts_out) pts_out[i] = (double)(p - pts0) * tb;
+            ++written;
+            emitted = true;
+          }
+          // p > target: skipped by the decoder, VFR, or a dropped frame —
+          // the adaptive retry below decides which
+          av_frame_unref(frame);
         }
-        if (r == 1) {
-          at_eof = true;
-          break;
+        if (emitted || failed) break;
+        if (skip_level > 0) {
+          // The target itself may have been elided by the skip level (a
+          // non-key target under NONKEY, a non-ref B target under NONREF):
+          // downgrade STICKILY (GOP structure is uniform within a file) and
+          // retry this target from its keyframe. A genuine miss (VFR /
+          // past-EOF) exhausts the levels and lands in the no-skip branch,
+          // preserving the exact pre-skip semantics.
+          --skip_level;
+          set_skip(skip_level);
+          if (!seek_to(target)) break;  // unseekable: cannot retry
+          continue;
         }
-        int64_t p = pts_of(frame);
-        if (p == INT64_MIN) p = cur_pts == INT64_MIN ? target - 1 : cur_pts;
-        cur_pts = p;
-        if (p == target) {
-          if (!emit(frame, i)) failed = true;
-          if (pts_out) pts_out[i] = (double)(p - pts0) * tb;
-          ++written;
-        }
-        // p > target: VFR / dropped frame — slot stays missing
-        av_frame_unref(frame);
+        break;  // no skip active: genuine miss — slot stays missing
       }
       // cur_pts == target but frame already consumed for an earlier equal
-      // index (duplicate targets): re-seek handles it on the next loop via
-      // target < cur_pts? No: equal indices share target == cur_pts and the
-      // while is skipped — emit requires the frame buffer, so duplicates
-      // are reported missing. Callers pass unique indices.
+      // index (duplicate targets): equal indices share target == cur_pts,
+      // the decode loop is skipped and the slot stays missing. Callers
+      // pass unique indices.
     }
 
     rc = (failed && written == 0) ? -1 : (int)written;
@@ -459,7 +525,24 @@ cleanup:
   if (sws) sws_freeContext(sws);
   av_packet_free(&pkt);
   av_frame_free(&frame);
+  if (legs) {
+    legs[0] = t_open;
+    legs[1] = t_seek;
+    legs[2] = t_dec;
+    legs[3] = t_sws;
+  }
   return rc;
+}
+
+// Back-compat entry: no decoder-level frame skipping, no leg timings —
+// byte-identical behaviour to the pre-skip implementation.
+long mmqg_decode_frames_idx(const char* path, const long* indices, long n,
+                            int out_w, int out_h, double seek_ahead_s,
+                            uint8_t* out, uint8_t* found, double* pts_out,
+                            double* tick_s) {
+  return mmqg_decode_frames_idx2(path, indices, n, out_w, out_h,
+                                 seek_ahead_s, 0, out, found, pts_out,
+                                 tick_s, nullptr);
 }
 
 // Self-test fixture writer: an mp4 with an AAC sine tone (freq Hz, 44.1 kHz

@@ -316,3 +316,47 @@ def test_av_fixture_has_both_streams(tmp_path):
     assert abs(n - 30) <= 2
     pcm = native.decode_audio(path, 16000)
     assert pcm is not None and abs(_dominant_hz(pcm, 16000) - 440) < 2
+
+
+def test_decode_frames_skip_modes_bit_identical(tmp_path):
+    """Adaptive decoder-level frame skipping (mmqg_media.cpp
+    mmqg_decode_frames_idx2, skip_mode=1) must return BYTES IDENTICAL to the
+    skip-free decode for both keyframe-aligned targets (the NONKEY fast
+    path: gop == fps and ~1 fps sampling) and misaligned targets (the sticky
+    NONKEY->NONREF->none downgrade retry) — skipping only elides frames that
+    are never emitted and never referenced by emitted ones."""
+    cv2 = pytest.importorskip("cv2")
+    v = tmp_path / "m.mp4"
+    vw = cv2.VideoWriter(str(v), cv2.VideoWriter_fourcc(*"mp4v"), 24,
+                         (160, 120))
+    rng = np.random.RandomState(1)
+    base = rng.randint(0, 255, (120, 160, 3), np.uint8)
+    for i in range(24 * 20):
+        vw.write(np.roll(base, i * 5, axis=1))
+    vw.release()
+
+    for targets in ([0, 24, 48, 240, 456],      # the ~1 fps sampling grid
+                    [5, 100, 250, 377],         # off-grid: forces downgrade
+                    [0, 7, 24, 100, 101, 456]):  # mixed
+        legs = {}
+        a = native.decode_frames(v, targets, 32, skip=True, legs=legs)
+        b = native.decode_frames(v, targets, 32, skip=False)
+        assert a is not None and b is not None
+        fa, fnda, ptsa, ticka = a
+        fb, fndb, ptsb, tickb = b
+        assert fnda.tolist() == fndb.tolist() and fnda.all()
+        assert np.array_equal(fa, fb), f"skip changed bytes for {targets}"
+        np.testing.assert_allclose(ptsa, ptsb, atol=1e-9)
+        assert ticka == tickb
+        assert set(legs) == {"open_s", "seek_s", "decode_s", "sws_s"}
+        assert legs["decode_s"] > 0
+
+
+def test_decode_frames_skip_env_disable(tmp_path, monkeypatch):
+    """MMQG_FRAME_SKIP=0 pins the skip-free decode path globally."""
+    monkeypatch.setenv("MMQG_FRAME_SKIP", "0")
+    path = tmp_path / "av.mp4"
+    if not native.write_test_av_mp4(path, seconds=4.0, freq=330, fps=10):
+        pytest.skip("AAC/MPEG-4 encoders not built into system libavcodec")
+    frames, found, _, _ = native.decode_frames(path, [0, 15], 32)
+    assert found.all() and frames.shape == (2, 32, 32, 3)
