@@ -444,6 +444,22 @@ long mmqg_decode_frames_idx2(const char* path, const long* indices, long n,
     bool at_eof = false, failed = false;
     long written = 0;
 
+    // Keyframe at/before `ts` straight from the DEMUX INDEX (mp4 sample
+    // table / mkv cues) — no seek, no decode. Lets the per-target decision
+    // below be exact: rolling forward from cur_pts decodes (target -
+    // cur_pts) frames; seeking decodes only (target - keyframe). When the
+    // keyframe is AHEAD of the current position, every frame in between is
+    // dead work the index proves we can skip. Index timestamps can be DTS
+    // for B-frame streams — a frame or two of slack that can only cost a
+    // marginal seek decision, never correctness (pts targeting below is
+    // unchanged). INT64_MIN when the container has no usable index.
+    auto key_before = [&](int64_t ts) -> int64_t {
+      int idx = av_index_search_timestamp(st, ts, AVSEEK_FLAG_BACKWARD);
+      if (idx < 0) return INT64_MIN;
+      const AVIndexEntry* e = avformat_index_get_entry(st, idx);
+      return e ? e->timestamp : INT64_MIN;
+    };
+
     auto seek_to = [&](int64_t ts) -> bool {
       double tsk = now_s();
       bool ok = av_seek_frame(d.fmt, d.stream, ts, AVSEEK_FLAG_BACKWARD) >= 0;
@@ -461,14 +477,36 @@ long mmqg_decode_frames_idx2(const char* path, const long* indices, long n,
       rc = -1;
       goto cleanup;
     }
+    if (skip_level >= 2) {
+      // NONKEY only pays when the sampling grid lands on keyframes; the
+      // demux index answers that up front, skipping the wasted first-target
+      // retry. DTS-indexed B-frame streams can fail the equality spuriously
+      // — that only downgrades to NONREF (still exact, still skips B's).
+      for (long i = 0; i < n && skip_level >= 2; ++i) {
+        if (indices[i] < 0) continue;
+        const int64_t kt = key_before(pts0 + indices[i] * dt);
+        if (kt == INT64_MIN || kt != pts0 + indices[i] * dt) skip_level = 1;
+      }
+    }
     set_skip(skip_level);
 
     for (long i = 0; i < n && !failed; ++i) {
       if (indices[i] < 0) continue;
       const int64_t target = pts0 + indices[i] * dt;
       while (true) {
-        if (target < cur_pts ||
-            (target > cur_pts + ahead_ticks && !at_eof)) {
+        bool want_seek;
+        if (target < cur_pts || cur_pts == INT64_MIN) {
+          want_seek = true;
+        } else {
+          const int64_t kt = key_before(target);
+          // index available: seek exactly when the target's keyframe is
+          // ahead of the current position (the frames in between decode
+          // for nothing); no index: the fixed look-ahead heuristic
+          want_seek = (kt != INT64_MIN)
+                          ? (kt > cur_pts && !at_eof)
+                          : (target > cur_pts + ahead_ticks && !at_eof);
+        }
+        if (want_seek) {
           // seek failure (unseekable input): continue linearly from here
           seek_to(target);
         }
