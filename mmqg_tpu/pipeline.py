@@ -351,6 +351,7 @@ class QGPipeline:
         topk: int = 1,
         top_p: float = 0.9,
         seed: int = 0,
+        completion_times: Optional[Dict[int, float]] = None,
     ) -> List[List[str]]:
         """Many videos in, questions out, with host prep OVERLAPPED against
         device decode — the joint end-to-end path the north star prices
@@ -366,11 +367,21 @@ class QGPipeline:
         prep lands (jit dispatch is async), so the device decodes video i
         while the host decodes videos i+1..i+workers. Results return in job
         order. Measured A/B vs the sequential path: scripts/
-        bench_joint_video.py, PERF.md "Joint mp4->questions"."""
+        bench_joint_video.py, PERF.md "Joint mp4->questions".
+
+        ``completion_times``: optional dict that receives, per job index,
+        the ``time.perf_counter()`` at which that video's questions were
+        MATERIALISED on the host (finalisation then runs in dispatch order —
+        the device's FIFO completion order — so each timestamp is the true
+        "questions ready" time, not job-order waiting). The per-video
+        latency metric the north star names (BASELINE.json) is
+        ``completion_times[i] - t_submit``."""
+        import time as _time
         from concurrent.futures import ThreadPoolExecutor
 
         jobs = list(jobs)
         finalizers: List = [None] * len(jobs)
+        dispatch_order: List[int] = []
 
         def prep(job: Dict):
             return self._prep_video(
@@ -392,7 +403,14 @@ class QGPipeline:
                 finalizers[i] = self.generate_async(
                     contexts, frames, audio, strategy=strategy,
                     beam_size=beam_size, topk=topk, top_p=top_p, seed=seed)
-        return [fin() for fin in finalizers]
+                dispatch_order.append(i)
+        if completion_times is None:
+            return [fin() for fin in finalizers]
+        results: List[List[str]] = [None] * len(jobs)  # type: ignore
+        for i in dispatch_order:
+            results[i] = finalizers[i]()
+            completion_times[i] = _time.perf_counter()
+        return results
 
     def _span_audio(self, video_path, spans_s):
         """Each span's PCM straight from the video's audio track, or None

@@ -22,9 +22,26 @@ params (throughput does not depend on weight values). Synthesis time is
 excluded. Videos carry REAL AAC audio + MPEG-4 video streams written by
 the native in-process muxer (no ffmpeg binary in this image).
 
+Two shapes:
+
+* DENSE (``run``): 8 videos x 90 s x 8 spans of 8 s — 71% of each video
+  decoded, ~6x the real corpus's question density. The round-3 headline
+  shape; kept for round-over-round comparability.
+* CORPUS (``run_corpus``): per-video span LAYOUTS sampled verbatim from the
+  reference's labelled_questions.json (197 videos, 1.22 questions/video,
+  span p50 8 s / p90 19 s; video duration = last answer end + tail) — the
+  regime the north star actually prices, where seek-decode skips most of
+  each file (round-3 VERDICT missing #1). Also reports the second
+  north-star metric: p50/p90 PER-VIDEO latency (submit -> questions
+  materialised, measured in device completion order — VERDICT missing #3),
+  and vs_baseline computed over ALL jobs with the reference's audio leg
+  (get_audio.py) now INCLUDED (round-3 weak #1 removed both charities).
+
 Usage:
   python scripts/bench_joint_video.py [n_videos] [video_seconds] [spans_per_video]
-  python bench.py --from-video          # same, one JSON line
+  python scripts/bench_joint_video.py --corpus [n_videos]
+  python bench.py --from-video          # dense, one JSON line
+  python bench.py --from-video --corpus # corpus-shaped, one JSON line
 """
 
 from __future__ import annotations
@@ -119,6 +136,181 @@ def reference_style_videos_per_s(job, pipe, seconds: float) -> float:
     return 1.0 / (prep_s + serve_s)
 
 
+REFERENCE_QUESTIONS = Path("/root/reference/dataset/labelled_questions.json")
+
+
+def corpus_layouts(n_videos: int, seed: int = 0, tail_s: float = 15.0):
+    """Per-video span layouts sampled VERBATIM from the reference corpus
+    (labelled_questions.json: 197 videos, 241 questions, 1.22 q/video,
+    span p50 8 s / p90 19 s) so question density, span lengths AND span
+    positions match reality instead of the dense fixture. Video duration =
+    last answer end + ``tail_s`` (the corpus records no durations; the tail
+    is the post-answer remainder a lecture has — conservative: a LONGER
+    real tail only favours seek-decode further). Deterministic under
+    ``seed``."""
+    import random
+
+    from mmqg_tpu.data.subtitles import span_seconds
+
+    with open(REFERENCE_QUESTIONS) as f:
+        questions = json.load(f)
+    by_video = {}
+    for q in questions:
+        if not q.get("question"):
+            continue
+        spans = by_video.setdefault(str(q["video_id"]), [])
+        spans.append((float(span_seconds(q["answer_start"])),
+                      float(span_seconds(q["answer_end"]))))
+    layouts = sorted(by_video.items())  # stable order before sampling
+    rng = random.Random(seed)
+    picked = rng.sample(layouts, min(n_videos, len(layouts)))
+    out = []
+    for vid, spans in picked:
+        spans = sorted(spans)
+        out.append({"source_video_id": vid, "spans": spans,
+                    "seconds": max(e for _, e in spans) + tail_s})
+    return out
+
+
+def synthesize_corpus_videos(out_dir: Path, layouts, fps=24):
+    """One lecture-shaped AAC+MPEG-4 mp4 per sampled layout."""
+    from mmqg_tpu.data import native
+
+    if not native.media_available():
+        raise SystemExit("native media lib unavailable (make -C native media)")
+    jobs = []
+    for v, lay in enumerate(layouts):
+        path = out_dir / f"corpus{v:03d}.mp4"
+        if not native.write_test_av_mp4(path, seconds=lay["seconds"],
+                                        freq=200 + 7 * v, width=320,
+                                        height=240, fps=fps):
+            raise SystemExit("AAC/MPEG-4 encoders not in system libavcodec")
+        ctx = ["what is the process of the system"] * len(lay["spans"])
+        jobs.append({"video_path": path, "spans": lay["spans"],
+                     "contexts": ctx, "seconds": lay["seconds"]})
+    return jobs
+
+
+def reference_style_seconds(job, pipe, qps_cpu: float) -> float:
+    """The reference's end-to-end cost for ONE video of this bench, from its
+    own measured pieces — now with NO charities (round-3 weak #1):
+    * per QUESTION, a full linear decode of the video
+      (dataset/get_salient_frames.py:26-43 — the same cv2 read-all loop
+      scripts/bench_prep_video.py oracles);
+    * per VIDEO, one full audio extraction (get_audio.py:6-13 — measured
+      here as the in-process 44.1 kHz stereo decode; the reference spawned
+      ffmpeg for the same work);
+    * per QUESTION, 1/qps_cpu serve seconds (measured batch-1 torch CPU
+      rate, BASELINE_MEASURED.json / scripts/measure_baseline.py)."""
+    from bench_prep_video import read_all_extract
+
+    from mmqg_tpu.data import native
+
+    spans_ms = [(int(a * 1000), int(b * 1000)) for a, b in job["spans"]]
+    fs = pipe.mc.frame_size
+    t0 = time.perf_counter()
+    for s in spans_ms:
+        read_all_extract(job["video_path"], [s], (fs, fs))
+    native.decode_audio(job["video_path"], 44100, channels=2)  # get_audio.py
+    prep_s = time.perf_counter() - t0
+    return prep_s + len(spans_ms) / qps_cpu
+
+
+def _load_qps_cpu() -> float:
+    base = Path(__file__).resolve().parents[1] / "BASELINE_MEASURED.json"
+    if base.exists():
+        return float(json.loads(base.read_text())
+                     ["questions_per_sec_cpu_reference"])
+    return 0.2956
+
+
+def run_corpus(n_videos=16, workers=4, seed=0, out_json=False,
+               with_reference=True):
+    """Corpus-shaped joint benchmark (module doc): real span layouts, per-
+    video latency in completion order, all-jobs reference baseline."""
+    import tempfile
+
+    pipe = build_pipeline()
+    tmp = Path(tempfile.mkdtemp(prefix="joint_corpus_"))
+    layouts = corpus_layouts(n_videos, seed=seed)
+    t0 = time.perf_counter()
+    jobs = synthesize_corpus_videos(tmp, layouts)
+    synth_s = time.perf_counter() - t0
+    n_questions = sum(len(j["spans"]) for j in jobs)
+    total_video_s = sum(j["seconds"] for j in jobs)
+    decoded_frac = sum(b - a for j in jobs for a, b in j["spans"]) / total_video_s
+
+    # warmup: one FULL untimed pass — corpus jobs span several batch buckets
+    # (1, 2, 4 questions) and several AV buckets (8 s vs 19 s vs 101 s
+    # spans), and every distinct shape is its own XLA program (30 s - 10 min
+    # remote compile on this backend); warming only one job would leave
+    # compiles inside the timed device leg
+    pipe.generate_from_videos(list(jobs), workers=workers)
+
+    from concurrent.futures import ThreadPoolExecutor
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        preps = list(ex.map(
+            lambda j: pipe._prep_video(j["video_path"], j["spans"],
+                                       contexts=j["contexts"]), jobs))
+    host_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    fins = [pipe.generate_async(c, f, a) for c, f, a in preps]
+    outs_dev = [fin() for fin in fins]
+    device_s = time.perf_counter() - t0
+
+    # --- joint: the real overlapped path, with per-video completion times
+    completion: dict = {}
+    t0 = time.perf_counter()
+    outs = pipe.generate_from_videos(jobs, workers=workers,
+                                     completion_times=completion)
+    joint_s = time.perf_counter() - t0
+    assert outs == outs_dev, "joint != staged decode output"
+    lat = np.array([completion[i] - t0 for i in range(len(jobs))])
+
+    videos_per_s = len(jobs) / joint_s
+    questions_per_s = n_questions / joint_s
+    result = {
+        "metric": "videos/sec joint mp4->questions at CORPUS span density "
+                  "(real labelled_questions.json layouts)",
+        "value": round(videos_per_s, 4),
+        "unit": "videos/sec",
+        "questions_per_s": round(questions_per_s, 2),
+        "n_videos": len(jobs),
+        "n_questions": n_questions,
+        "questions_per_video": round(n_questions / len(jobs), 2),
+        "total_video_s": round(total_video_s, 1),
+        "decoded_span_frac": round(decoded_frac, 3),
+        "workers": workers,
+        "host_only_s": round(host_s, 2),
+        "device_only_s": round(device_s, 2),
+        "joint_s": round(joint_s, 2),
+        "device_idle_frac": round(max(0.0, 1.0 - device_s / joint_s), 3),
+        "overlap_efficiency": round((host_s + device_s) / joint_s, 2),
+        "p50_per_video_latency_s": round(float(np.percentile(lat, 50)), 3),
+        "p90_per_video_latency_s": round(float(np.percentile(lat, 90)), 3),
+        "synthesis_s_excluded": round(synth_s, 2),
+        "seed": seed,
+    }
+    if with_reference:
+        qps_cpu = _load_qps_cpu()
+        t0 = time.perf_counter()
+        ref_total_s = sum(reference_style_seconds(j, pipe, qps_cpu)
+                          for j in jobs)
+        result["reference_measure_s_excluded"] = round(
+            time.perf_counter() - t0, 1)
+        ref_vps = len(jobs) / ref_total_s
+        result["reference_videos_per_s"] = round(ref_vps, 4)
+        result["vs_baseline"] = round(videos_per_s / ref_vps, 1)
+    if out_json:
+        print(json.dumps(result))
+    else:
+        for k, v in result.items():
+            print(f"{k:28s} {v}")
+    return result
+
+
 def run(n_videos=8, seconds=90.0, spans_per_video=8, workers=4,
         out_json=False, with_reference=True):
     import tempfile
@@ -150,11 +342,14 @@ def run(n_videos=8, seconds=90.0, spans_per_video=8, workers=4,
     outs_dev = [fin() for fin in fins]
     device_s = time.perf_counter() - t0
 
-    # --- joint: the real overlapped path
+    # --- joint: the real overlapped path, with per-video completion times
+    completion: dict = {}
     t0 = time.perf_counter()
-    outs = pipe.generate_from_videos(jobs, workers=workers)
+    outs = pipe.generate_from_videos(jobs, workers=workers,
+                                     completion_times=completion)
     joint_s = time.perf_counter() - t0
     assert [o for o in outs] == outs_dev, "joint != staged decode output"
+    lat = np.array([completion[i] - t0 for i in range(len(jobs))])
 
     videos_per_s = n_videos / joint_s
     questions_per_s = n_questions / joint_s
@@ -175,6 +370,8 @@ def run(n_videos=8, seconds=90.0, spans_per_video=8, workers=4,
         "joint_s": round(joint_s, 2),
         "device_idle_frac": round(device_idle, 3),
         "overlap_efficiency": round(overlap_eff, 2),
+        "p50_per_video_latency_s": round(float(np.percentile(lat, 50)), 3),
+        "p90_per_video_latency_s": round(float(np.percentile(lat, 90)), 3),
         "synthesis_s_excluded": round(synth_s, 2),
     }
     if with_reference:
@@ -191,7 +388,11 @@ def run(n_videos=8, seconds=90.0, spans_per_video=8, workers=4,
 
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
-    run(n_videos=int(args[0]) if len(args) > 0 else 8,
-        seconds=float(args[1]) if len(args) > 1 else 90.0,
-        spans_per_video=int(args[2]) if len(args) > 2 else 8,
-        out_json="--json" in sys.argv)
+    if "--corpus" in sys.argv:
+        run_corpus(n_videos=int(args[0]) if len(args) > 0 else 16,
+                   out_json="--json" in sys.argv)
+    else:
+        run(n_videos=int(args[0]) if len(args) > 0 else 8,
+            seconds=float(args[1]) if len(args) > 1 else 90.0,
+            spans_per_video=int(args[2]) if len(args) > 2 else 8,
+            out_json="--json" in sys.argv)
