@@ -352,6 +352,8 @@ class QGPipeline:
         top_p: float = 0.9,
         seed: int = 0,
         completion_times: Optional[Dict[int, float]] = None,
+        coalesce: bool = False,
+        max_coalesce: int = 64,
     ) -> List[List[str]]:
         """Many videos in, questions out, with host prep OVERLAPPED against
         device decode — the joint end-to-end path the north star prices
@@ -375,11 +377,29 @@ class QGPipeline:
         the device's FIFO completion order — so each timestamp is the true
         "questions ready" time, not job-order waiting). The per-video
         latency metric the north star names (BASELINE.json) is
-        ``completion_times[i] - t_submit``."""
+        ``completion_times[i] - t_submit``.
+
+        ``coalesce``: pack MULTIPLE videos' questions into each dispatched
+        batch (up to ``max_coalesce`` rows) — whenever preps are ready, all
+        of them ship as one program invocation instead of one per video.
+        At corpus question density (~1.1 questions/video) the per-video
+        path is bound by the per-program dispatch floor (~27 ms/program on
+        this backend — PERF.md round-4 joint table); coalescing amortises
+        it across videos at the cost of the FIRST-ready video waiting for
+        its batch-mates' decode. Throughput mode, vs the latency-minimal
+        per-video default. Greedy/beam outputs are row-independent and
+        identical either way (asserted by the corpus bench); sampling
+        strategies draw from per-batch streams, so their draws differ."""
         import time as _time
         from concurrent.futures import ThreadPoolExecutor
 
         jobs = list(jobs)
+        if coalesce:
+            return self._generate_from_videos_coalesced(
+                jobs, workers=workers, strategy=strategy,
+                beam_size=beam_size, topk=topk, top_p=top_p, seed=seed,
+                completion_times=completion_times,
+                max_coalesce=max_coalesce)
         finalizers: List = [None] * len(jobs)
         dispatch_order: List[int] = []
 
@@ -410,6 +430,59 @@ class QGPipeline:
         for i in dispatch_order:
             results[i] = finalizers[i]()
             completion_times[i] = _time.perf_counter()
+        return results
+
+    def _generate_from_videos_coalesced(
+        self, jobs, *, workers, strategy, beam_size, topk, top_p, seed,
+        completion_times, max_coalesce,
+    ) -> List[List[str]]:
+        """Coalescing variant of ``generate_from_videos`` (see its doc):
+        drain ALL completed preps each time any lands, pack their question
+        rows into combined batches of up to ``max_coalesce`` rows, dispatch
+        each combined batch as one program invocation."""
+        import concurrent.futures as cf
+        import time as _time
+        from concurrent.futures import ThreadPoolExecutor
+
+        def prep(job: Dict):
+            return self._prep_video(
+                job["video_path"], job["spans"],
+                subtitles=job.get("subtitles"),
+                contexts=job.get("contexts"),
+                audio_path=job.get("audio_path"))
+
+        inflight: List = []  # (finalizer, [(job_i, ctx, frame, aud), ...])
+        n_batches = 0
+        with ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
+            futures = [ex.submit(prep, job) for job in jobs]
+            index = {f: i for i, f in enumerate(futures)}
+            pending = set(futures)
+            while pending:
+                done, pending = cf.wait(pending,
+                                        return_when=cf.FIRST_COMPLETED)
+                group = sorted((index[f], f.result()) for f in done)
+                rows = []  # one entry per QUESTION across the drained group
+                for i, (contexts, frames, audio) in group:
+                    auds = audio if audio is not None else [None] * len(contexts)
+                    for c, fr, au in zip(contexts, frames, auds):
+                        rows.append((i, c, fr, au))
+                for lo in range(0, len(rows), max_coalesce):
+                    chunk = rows[lo:lo + max_coalesce]
+                    fin = self.generate_async(
+                        [r[1] for r in chunk], [r[2] for r in chunk],
+                        [r[3] for r in chunk], strategy=strategy,
+                        beam_size=beam_size, topk=topk, top_p=top_p,
+                        seed=seed + n_batches)
+                    n_batches += 1
+                    inflight.append((fin, chunk))
+        results: List[List[str]] = [[] for _ in jobs]
+        for fin, chunk in inflight:  # dispatch order == device FIFO order
+            words = fin()
+            t = _time.perf_counter()
+            for (i, *_), w in zip(chunk, words):
+                results[i].append(w)  # chunks preserve per-job span order
+                if completion_times is not None:
+                    completion_times[i] = t  # last chunk carrying job i
         return results
 
     def _span_audio(self, video_path, spans_s):

@@ -137,8 +137,24 @@ def serve(pipe, *, strategy: str, max_batch: int, linger_ms: float,
         if first is None:
             break
         pending: List[dict] = [first]
-        deadline = time.monotonic() + linger_ms / 1000.0
+        # Drain whatever is ALREADY queued without waiting: a backed-up
+        # queue means the device fell behind the arrival rate, and shipping
+        # the backlog as one batch amortises the per-program dispatch floor
+        # — with linger_ms=0 the deadline loop below never batches at all,
+        # which saturated at ~1/(2 programs x dispatch floor) q/s under
+        # load (PERF.md "Serving daemon under load").
         while len(pending) < max_batch:
+            try:
+                nxt = q.get_nowait()
+            except queue.Empty:
+                break
+            if nxt is None:
+                done = True
+                break
+            pending.append(nxt)
+        # then linger for companions only if there is budget and room
+        deadline = time.monotonic() + linger_ms / 1000.0
+        while not done and len(pending) < max_batch:
             timeout = deadline - time.monotonic()
             if timeout <= 0:
                 break

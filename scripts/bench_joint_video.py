@@ -240,12 +240,14 @@ def run_corpus(n_videos=16, workers=4, seed=0, out_json=False,
     total_video_s = sum(j["seconds"] for j in jobs)
     decoded_frac = sum(b - a for j in jobs for a, b in j["spans"]) / total_video_s
 
-    # warmup: one FULL untimed pass — corpus jobs span several batch buckets
-    # (1, 2, 4 questions) and several AV buckets (8 s vs 19 s vs 101 s
-    # spans), and every distinct shape is its own XLA program (30 s - 10 min
-    # remote compile on this backend); warming only one job would leave
-    # compiles inside the timed device leg
+    # warmup: one FULL untimed pass per mode — corpus jobs span several
+    # batch buckets (1, 2, 4 questions; larger combined buckets when
+    # coalescing) and several AV buckets (8 s vs 19 s vs 101 s spans), and
+    # every distinct shape is its own XLA program (30 s - 10 min remote
+    # compile on this backend); warming only one job would leave compiles
+    # inside the timed device leg
     pipe.generate_from_videos(list(jobs), workers=workers)
+    pipe.generate_from_videos(list(jobs), workers=workers, coalesce=True)
 
     from concurrent.futures import ThreadPoolExecutor
     t0 = time.perf_counter()
@@ -269,6 +271,19 @@ def run_corpus(n_videos=16, workers=4, seed=0, out_json=False,
     assert outs == outs_dev, "joint != staged decode output"
     lat = np.array([completion[i] - t0 for i in range(len(jobs))])
 
+    # --- joint, coalesced: many videos' questions per dispatched batch —
+    # amortises the per-program dispatch floor that binds the per-video
+    # path at corpus density (throughput mode; the per-video path is the
+    # latency mode)
+    completion_co: dict = {}
+    t0 = time.perf_counter()
+    outs_co = pipe.generate_from_videos(jobs, workers=workers,
+                                        coalesce=True,
+                                        completion_times=completion_co)
+    joint_co_s = time.perf_counter() - t0
+    assert outs_co == outs_dev, "coalesced output != per-video output"
+    lat_co = np.array([completion_co[i] - t0 for i in range(len(jobs))])
+
     videos_per_s = len(jobs) / joint_s
     questions_per_s = n_questions / joint_s
     result = {
@@ -290,6 +305,11 @@ def run_corpus(n_videos=16, workers=4, seed=0, out_json=False,
         "overlap_efficiency": round((host_s + device_s) / joint_s, 2),
         "p50_per_video_latency_s": round(float(np.percentile(lat, 50)), 3),
         "p90_per_video_latency_s": round(float(np.percentile(lat, 90)), 3),
+        "coalesced_joint_s": round(joint_co_s, 2),
+        "coalesced_videos_per_s": round(len(jobs) / joint_co_s, 2),
+        "coalesced_questions_per_s": round(n_questions / joint_co_s, 2),
+        "coalesced_p50_latency_s": round(float(np.percentile(lat_co, 50)), 3),
+        "coalesced_p90_latency_s": round(float(np.percentile(lat_co, 90)), 3),
         "synthesis_s_excluded": round(synth_s, 2),
         "seed": seed,
     }
@@ -303,6 +323,8 @@ def run_corpus(n_videos=16, workers=4, seed=0, out_json=False,
         ref_vps = len(jobs) / ref_total_s
         result["reference_videos_per_s"] = round(ref_vps, 4)
         result["vs_baseline"] = round(videos_per_s / ref_vps, 1)
+        result["coalesced_vs_baseline"] = round(
+            (len(jobs) / joint_co_s) / ref_vps, 1)
     if out_json:
         print(json.dumps(result))
     else:

@@ -196,3 +196,38 @@ def test_generate_from_videos_overlapped_matches_sequential(trained, tmp_path):
     overlapped = pipe.generate_from_videos(jobs, workers=3)
     assert overlapped == sequential
     assert all(len(qs) == 2 for qs in overlapped)
+
+
+def test_generate_from_videos_coalesced_matches_per_video(trained, tmp_path):
+    """The coalescing driver (generate_from_videos(coalesce=True): many
+    videos' questions packed per dispatched batch — the corpus-density
+    throughput mode, PERF.md round-4 joint table) must return exactly the
+    per-video results in job order, report a completion time for every job,
+    and respect max_coalesce chunking."""
+    pytest.importorskip("cv2")
+    from mmqg_tpu.data import native
+
+    if not native.media_available():
+        pytest.skip("native media lib unavailable")
+    jobs = []
+    for v in range(3):
+        video = tmp_path / f"co{v}.mp4"
+        if not native.write_test_av_mp4(video, seconds=6.0,
+                                        freq=300 + 100 * v, fps=10):
+            pytest.skip("AAC/MPEG-4 encoders not built into libavcodec")
+        jobs.append({"video_path": video,
+                     "spans": [(1.0, 3.0), (3.0, 5.0)],
+                     "contexts": ["what is the process",
+                                  "the value of the system"]})
+
+    pipe = QGPipeline.from_checkpoint(trained, alias="best")
+    per_video = pipe.generate_from_videos(jobs, workers=3)
+    times = {}
+    coalesced = pipe.generate_from_videos(jobs, workers=3, coalesce=True,
+                                          completion_times=times)
+    assert coalesced == per_video
+    assert set(times) == {0, 1, 2}
+    # max_coalesce=1 degenerates to one dispatch per question, same output
+    chunked = pipe.generate_from_videos(jobs, workers=3, coalesce=True,
+                                        max_coalesce=1)
+    assert chunked == per_video

@@ -139,3 +139,23 @@ def test_serve_raw_video_request(served_pipe, tmp_path):
     assert isinstance(by_id["vid"]["question"], str)
     assert by_id["vid"]["batch_size"] == 2   # both forms share one batch
     assert isinstance(by_id["txt"]["question"], str)
+
+
+def test_serve_zero_linger_batches_backlog(served_pipe):
+    """linger_ms=0 must still batch requests that are ALREADY queued (the
+    non-blocking backlog drain): under load the queue backs up while the
+    device decodes, and shipping the backlog one-by-one saturates at the
+    per-program dispatch floor (PERF.md "Serving daemon under load"). With
+    32 instantly-available requests and max_batch=8, at least one batch
+    must carry companions."""
+    pipe, cfg = served_pipe
+    reqs = [{"id": i, "context": "what is the process of the system"}
+            for i in range(32)]
+    inp = io.StringIO("\n".join(json.dumps(r) for r in reqs) + "\n")
+    out = io.StringIO()
+    n = serve(pipe, strategy="greedy", max_batch=8, linger_ms=0.0,
+              inp=inp, out=out)
+    assert n == 32
+    responses = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert len(responses) == 32
+    assert max(r["batch_size"] for r in responses) >= 2
