@@ -104,7 +104,9 @@ class QGPipeline:
 
     def _pack(self, contexts: Sequence[str],
               frames: Optional[Sequence[Optional[np.ndarray]]],
-              audio: Optional[Sequence[Optional[np.ndarray]]]) -> Dict:
+              audio: Optional[Sequence[Optional[np.ndarray]]],
+              frames_cap: Optional[int] = None,
+              audio_cap: Optional[int] = None) -> Dict:
         """Pad/pack a request into one fixed-shape host batch.
 
         AV buffers allocate at the request's BUCKET sizes, not av_max:
@@ -117,7 +119,13 @@ class QGPipeline:
         video benchmark being transfer-bound and host-decode-bound).
         Program count stays bounded: shapes come from the same eighth-
         granularity buckets decode.{frames,audio}_bucket already key
-        compiled variants on."""
+        compiled variants on.
+
+        ``frames_cap``/``audio_cap`` PIN the AV buffer sizes instead of
+        deriving them from this request's lengths (lengths clamp to the
+        caps): callers that must hit ONE compiled program for variable
+        request mixes (coalesced multi-video batching, a serve daemon
+        avoiding per-mix recompiles) pass their fleet-wide caps here."""
         mc, config = self.mc, self.config
         n = len(contexts)
         rows = self._batch_bucket(n)
@@ -141,13 +149,22 @@ class QGPipeline:
                 pcms[i] = pcm[:S_max]
                 a_lens[i] = len(pcms[i])
 
-        fcap = DEC.frames_bucket(mc, f_lens)
-        acap = DEC.audio_bucket(mc, a_lens)
+        if frames_cap is not None:
+            fcap = min(int(frames_cap), Tav)
+            np.minimum(f_lens, fcap, out=f_lens)
+        else:
+            fcap = DEC.frames_bucket(mc, f_lens)
+        acap = (min(int(audio_cap), Tav) if audio_cap is not None
+                else DEC.audio_bucket(mc, a_lens))
         # samples covering acap WHOLE mel examples (log_mel_examples pads
         # the rest on device); every example the length mask can count is
         # inside this prefix
         k = -(-mc.stft_window // mc.stft_hop)
         s_need = min(S_max, (acap * mc.mel_frames + k - 1) * mc.stft_hop)
+        if audio_cap is not None:
+            # pinned cap may undercut this request's natural bucket: the
+            # length mask must not count examples past the shipped prefix
+            np.minimum(a_lens, s_need, out=a_lens)
 
         batch = {
             "context_ids": np.zeros((rows, Lc), np.int32),
@@ -229,6 +246,8 @@ class QGPipeline:
         topk: int = 1,
         top_p: float = 0.9,
         seed: int = 0,
+        frames_cap: Optional[int] = None,
+        audio_cap: Optional[int] = None,
     ):
         """Dispatch the decode and return a zero-arg finalizer.
 
@@ -236,15 +255,29 @@ class QGPipeline:
         inputs are staged, and the host returns immediately. Calling the
         finalizer blocks on the device and returns the ``List[str]``
         questions. Lets a serving loop (mmqg_tpu.serve) pack and dispatch
-        batch N+1 while the device still decodes batch N."""
+        batch N+1 while the device still decodes batch N.
+
+        ``frames_cap``/``audio_cap``: pin the AV buckets (and the packed
+        buffer shapes) instead of deriving them per request — one compiled
+        program for any request mix (see ``_pack``)."""
         n = len(contexts)
-        batch = self._pack(contexts, frames, audio)
+        batch = self._pack(contexts, frames, audio, frames_cap=frames_cap,
+                           audio_cap=audio_cap)
         # AV buckets from the HOST arrays: after device placement they would
         # cost a device sync per request (see decode.decode_batch)
         has_av = self.mc.mode in ("text_video", "trimodal")
-        cap = (DEC.audio_bucket(self.mc, batch["audio_len"])
-               if self.mc.mode == "trimodal" else None)
-        fcap = DEC.frames_bucket(self.mc, batch["frames_len"]) if has_av else None
+        if self.mc.mode != "trimodal":
+            cap = None
+        elif audio_cap is not None:
+            cap = min(int(audio_cap), self.mc.av_max_length)
+        else:
+            cap = DEC.audio_bucket(self.mc, batch["audio_len"])
+        if not has_av:
+            fcap = None
+        elif frames_cap is not None:
+            fcap = min(int(frames_cap), self.mc.av_max_length)
+        else:
+            fcap = DEC.frames_bucket(self.mc, batch["frames_len"])
         if self.mesh is not None:
             batch = self._shard_request(batch)
         use_pallas = self.config.use_pallas
@@ -354,6 +387,9 @@ class QGPipeline:
         completion_times: Optional[Dict[int, float]] = None,
         coalesce: bool = False,
         max_coalesce: int = 64,
+        coalesce_fixed_shape: bool = False,
+        frames_cap: Optional[int] = None,
+        audio_cap: Optional[int] = None,
     ) -> List[List[str]]:
         """Many videos in, questions out, with host prep OVERLAPPED against
         device decode — the joint end-to-end path the north star prices
@@ -389,17 +425,31 @@ class QGPipeline:
         its batch-mates' decode. Throughput mode, vs the latency-minimal
         per-video default. Greedy/beam outputs are row-independent and
         identical either way (asserted by the corpus bench); sampling
-        strategies draw from per-batch streams, so their draws differ."""
+        strategies draw from per-batch streams, so their draws differ.
+
+        ``coalesce_fixed_shape``: pad every coalesced batch to exactly
+        ``max_coalesce`` rows and pin ``frames_cap``/``audio_cap`` (default:
+        the model maximum) — ONE compiled program serves every chunk
+        composition, where the variable-shape default compiles one program
+        per (batch bucket x AV bucket) pair the timing-dependent chunking
+        happens to produce (each 30 s - 10 min of remote compile on this
+        backend). Padding FLOPs traded for program-count determinism — the
+        standard TPU shape discipline."""
         import time as _time
         from concurrent.futures import ThreadPoolExecutor
 
         jobs = list(jobs)
         if coalesce:
+            if coalesce_fixed_shape:
+                frames_cap = frames_cap or self.mc.av_max_length
+                audio_cap = audio_cap or self.mc.av_max_length
             return self._generate_from_videos_coalesced(
                 jobs, workers=workers, strategy=strategy,
                 beam_size=beam_size, topk=topk, top_p=top_p, seed=seed,
                 completion_times=completion_times,
-                max_coalesce=max_coalesce)
+                max_coalesce=max_coalesce,
+                fixed_rows=max_coalesce if coalesce_fixed_shape else None,
+                frames_cap=frames_cap, audio_cap=audio_cap)
         finalizers: List = [None] * len(jobs)
         dispatch_order: List[int] = []
 
@@ -434,12 +484,15 @@ class QGPipeline:
 
     def _generate_from_videos_coalesced(
         self, jobs, *, workers, strategy, beam_size, topk, top_p, seed,
-        completion_times, max_coalesce,
+        completion_times, max_coalesce, fixed_rows=None, frames_cap=None,
+        audio_cap=None,
     ) -> List[List[str]]:
         """Coalescing variant of ``generate_from_videos`` (see its doc):
         drain ALL completed preps each time any lands, pack their question
         rows into combined batches of up to ``max_coalesce`` rows, dispatch
-        each combined batch as one program invocation."""
+        each combined batch as one program invocation. ``fixed_rows`` pads
+        every chunk to that row count (empty-context rows, trimmed on
+        return) so one program shape serves all chunk compositions."""
         import concurrent.futures as cf
         import time as _time
         from concurrent.futures import ThreadPoolExecutor
@@ -468,11 +521,15 @@ class QGPipeline:
                         rows.append((i, c, fr, au))
                 for lo in range(0, len(rows), max_coalesce):
                     chunk = rows[lo:lo + max_coalesce]
+                    pad = (fixed_rows - len(chunk)) if fixed_rows else 0
                     fin = self.generate_async(
-                        [r[1] for r in chunk], [r[2] for r in chunk],
-                        [r[3] for r in chunk], strategy=strategy,
+                        [r[1] for r in chunk] + [""] * pad,
+                        [r[2] for r in chunk] + [None] * pad,
+                        [r[3] for r in chunk] + [None] * pad,
+                        strategy=strategy,
                         beam_size=beam_size, topk=topk, top_p=top_p,
-                        seed=seed + n_batches)
+                        seed=seed + n_batches, frames_cap=frames_cap,
+                        audio_cap=audio_cap)
                     n_batches += 1
                     inflight.append((fin, chunk))
         results: List[List[str]] = [[] for _ in jobs]

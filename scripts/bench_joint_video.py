@@ -240,14 +240,27 @@ def run_corpus(n_videos=16, workers=4, seed=0, out_json=False,
     total_video_s = sum(j["seconds"] for j in jobs)
     decoded_frac = sum(b - a for j in jobs for a, b in j["spans"]) / total_video_s
 
+    # Coalesced mode runs FIXED-SHAPE (chunks padded to max_coalesce rows,
+    # AV caps pinned to the job set's maxima) so exactly ONE program serves
+    # every chunk composition — the variable-shape mode compiles one
+    # program per (batch bucket x AV bucket) pair the timing-dependent
+    # chunking produces, which is unbounded remote-compile time here.
+    from mmqg_tpu import decode as DEC
+    span_lens = np.array([max(1, int(b - a))
+                          for j in jobs for a, b in j["spans"]], np.int32)
+    gfcap = DEC.frames_bucket(pipe.mc, span_lens)
+    gacap = DEC.audio_bucket(
+        pipe.mc, (span_lens * pipe.mc.sample_rate).astype(np.int64))
+    co_kw = dict(coalesce=True, coalesce_fixed_shape=True, max_coalesce=32,
+                 frames_cap=gfcap, audio_cap=gacap)
+
     # warmup: one FULL untimed pass per mode — corpus jobs span several
-    # batch buckets (1, 2, 4 questions; larger combined buckets when
-    # coalescing) and several AV buckets (8 s vs 19 s vs 101 s spans), and
-    # every distinct shape is its own XLA program (30 s - 10 min remote
-    # compile on this backend); warming only one job would leave compiles
-    # inside the timed device leg
+    # batch buckets (1, 2, 4 questions) and several AV buckets (8 s vs
+    # 19 s vs 101 s spans), and every distinct shape is its own XLA
+    # program (30 s - 10 min remote compile on this backend); warming only
+    # one job would leave compiles inside the timed device leg
     pipe.generate_from_videos(list(jobs), workers=workers)
-    pipe.generate_from_videos(list(jobs), workers=workers, coalesce=True)
+    pipe.generate_from_videos(list(jobs), workers=workers, **co_kw)
 
     from concurrent.futures import ThreadPoolExecutor
     t0 = time.perf_counter()
@@ -278,8 +291,8 @@ def run_corpus(n_videos=16, workers=4, seed=0, out_json=False,
     completion_co: dict = {}
     t0 = time.perf_counter()
     outs_co = pipe.generate_from_videos(jobs, workers=workers,
-                                        coalesce=True,
-                                        completion_times=completion_co)
+                                        completion_times=completion_co,
+                                        **co_kw)
     joint_co_s = time.perf_counter() - t0
     assert outs_co == outs_dev, "coalesced output != per-video output"
     lat_co = np.array([completion_co[i] - t0 for i in range(len(jobs))])

@@ -231,3 +231,31 @@ def test_generate_from_videos_coalesced_matches_per_video(trained, tmp_path):
     chunked = pipe.generate_from_videos(jobs, workers=3, coalesce=True,
                                         max_coalesce=1)
     assert chunked == per_video
+
+
+def test_generate_from_videos_coalesced_fixed_shape(trained, tmp_path):
+    """Fixed-shape coalescing (chunks padded to max_coalesce rows, AV caps
+    pinned — one compiled program for every chunk composition) must return
+    exactly the per-video results; padded rows are trimmed."""
+    pytest.importorskip("cv2")
+    from mmqg_tpu.data import native
+
+    if not native.media_available():
+        pytest.skip("native media lib unavailable")
+    jobs = []
+    for v in range(2):
+        video = tmp_path / f"fx{v}.mp4"
+        if not native.write_test_av_mp4(video, seconds=6.0,
+                                        freq=300 + 100 * v, fps=10):
+            pytest.skip("AAC/MPEG-4 encoders not built into libavcodec")
+        jobs.append({"video_path": video,
+                     "spans": [(1.0, 3.0), (3.0, 5.0)],
+                     "contexts": ["what is the process",
+                                  "the value of the system"]})
+
+    pipe = QGPipeline.from_checkpoint(trained, alias="best")
+    per_video = pipe.generate_from_videos(jobs, workers=2)
+    fixed = pipe.generate_from_videos(jobs, workers=2, coalesce=True,
+                                      coalesce_fixed_shape=True,
+                                      max_coalesce=8)
+    assert fixed == per_video
