@@ -387,9 +387,6 @@ class QGPipeline:
         completion_times: Optional[Dict[int, float]] = None,
         coalesce: bool = False,
         max_coalesce: int = 64,
-        coalesce_fixed_shape: bool = False,
-        frames_cap: Optional[int] = None,
-        audio_cap: Optional[int] = None,
     ) -> List[List[str]]:
         """Many videos in, questions out, with host prep OVERLAPPED against
         device decode — the joint end-to-end path the north star prices
@@ -416,40 +413,34 @@ class QGPipeline:
         ``completion_times[i] - t_submit``.
 
         ``coalesce``: pack MULTIPLE videos' questions into each dispatched
-        batch (up to ``max_coalesce`` rows) — whenever preps are ready, all
-        of them ship as one program invocation instead of one per video.
-        At corpus question density (~1.1 questions/video) the per-video
-        path is bound by the per-program dispatch floor (~27 ms/program on
-        this backend — PERF.md round-4 joint table); coalescing amortises
-        it across videos at the cost of the FIRST-ready video waiting for
-        its batch-mates' decode. Throughput mode, vs the latency-minimal
-        per-video default. Greedy/beam outputs are row-independent and
-        identical either way (asserted by the corpus bench); sampling
-        strategies draw from per-batch streams, so their draws differ.
-
-        ``coalesce_fixed_shape``: pad every coalesced batch to exactly
-        ``max_coalesce`` rows and pin ``frames_cap``/``audio_cap`` (default:
-        the model maximum) — ONE compiled program serves every chunk
-        composition, where the variable-shape default compiles one program
-        per (batch bucket x AV bucket) pair the timing-dependent chunking
-        happens to produce (each 30 s - 10 min of remote compile on this
-        backend). Padding FLOPs traded for program-count determinism — the
-        standard TPU shape discipline."""
+        batch (up to ``max_coalesce`` rows), GROUPED BY AV BUCKET — prep
+        runs on the pool as usual, then each question row joins the batch
+        for its own (frames bucket, audio bucket) pair and every group
+        dispatches as one fixed-cap program invocation. At corpus question
+        density (~1.1 questions/video) the per-video path pays the
+        per-program dispatch floor (~27 ms/program on this backend) 2x per
+        VIDEO; grouping pays it 2x per DISTINCT BUCKET PAIR. Bucket
+        grouping keeps each row's host-link bytes at its own span size —
+        the measured alternative (one combined batch at the job-set's MAX
+        caps) moved ~10x padding over the link and LOST end-to-end
+        (PERF.md round-4 joint table, "rejected: global-cap coalescing").
+        Program count is deterministic: one per (bucket pair, chunk-size
+        pow2) actually present in the job set, independent of prep timing.
+        Throughput mode, vs the latency-minimal per-video default (rows
+        wait for all preps before dispatch). Greedy/beam outputs are
+        row-independent and identical either way (asserted by the corpus
+        bench); sampling strategies draw from per-batch streams, so their
+        draws differ."""
         import time as _time
         from concurrent.futures import ThreadPoolExecutor
 
         jobs = list(jobs)
         if coalesce:
-            if coalesce_fixed_shape:
-                frames_cap = frames_cap or self.mc.av_max_length
-                audio_cap = audio_cap or self.mc.av_max_length
             return self._generate_from_videos_coalesced(
                 jobs, workers=workers, strategy=strategy,
                 beam_size=beam_size, topk=topk, top_p=top_p, seed=seed,
                 completion_times=completion_times,
-                max_coalesce=max_coalesce,
-                fixed_rows=max_coalesce if coalesce_fixed_shape else None,
-                frames_cap=frames_cap, audio_cap=audio_cap)
+                max_coalesce=max_coalesce)
         finalizers: List = [None] * len(jobs)
         dispatch_order: List[int] = []
 
@@ -484,16 +475,12 @@ class QGPipeline:
 
     def _generate_from_videos_coalesced(
         self, jobs, *, workers, strategy, beam_size, topk, top_p, seed,
-        completion_times, max_coalesce, fixed_rows=None, frames_cap=None,
-        audio_cap=None,
+        completion_times, max_coalesce,
     ) -> List[List[str]]:
         """Coalescing variant of ``generate_from_videos`` (see its doc):
-        drain ALL completed preps each time any lands, pack their question
-        rows into combined batches of up to ``max_coalesce`` rows, dispatch
-        each combined batch as one program invocation. ``fixed_rows`` pads
-        every chunk to that row count (empty-context rows, trimmed on
-        return) so one program shape serves all chunk compositions."""
-        import concurrent.futures as cf
+        prep every job on the pool, group question rows by their
+        (frames bucket, audio bucket) pair, dispatch each group as
+        fixed-cap combined batches of up to ``max_coalesce`` rows."""
         import time as _time
         from concurrent.futures import ThreadPoolExecutor
 
@@ -504,40 +491,47 @@ class QGPipeline:
                 contexts=job.get("contexts"),
                 audio_path=job.get("audio_path"))
 
+        with ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
+            preps = list(ex.map(prep, jobs))
+
+        mc = self.mc
+        trimodal = mc.mode == "trimodal"
+        has_av = mc.mode in ("text_video", "trimodal")
+        groups: Dict[tuple, List[tuple]] = {}
+        for i, (contexts, frames, audio) in enumerate(preps):
+            auds = audio if audio is not None else [None] * len(contexts)
+            for k, (c, fr, au) in enumerate(zip(contexts, frames, auds)):
+                fb = (DEC.frames_bucket(
+                    mc, np.array([len(fr) if fr is not None else 1]))
+                    if has_av else None)
+                ab = (DEC.audio_bucket(
+                    mc, np.array([len(au) if au is not None else 0]))
+                    if trimodal else None)
+                # (job, span-index) ride along: one job's spans can land in
+                # DIFFERENT bucket groups, so span order is restored by
+                # position, not append order
+                groups.setdefault((fb, ab), []).append((i, k, c, fr, au))
+
         inflight: List = []  # (finalizer, [(job_i, ctx, frame, aud), ...])
         n_batches = 0
-        with ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
-            futures = [ex.submit(prep, job) for job in jobs]
-            index = {f: i for i, f in enumerate(futures)}
-            pending = set(futures)
-            while pending:
-                done, pending = cf.wait(pending,
-                                        return_when=cf.FIRST_COMPLETED)
-                group = sorted((index[f], f.result()) for f in done)
-                rows = []  # one entry per QUESTION across the drained group
-                for i, (contexts, frames, audio) in group:
-                    auds = audio if audio is not None else [None] * len(contexts)
-                    for c, fr, au in zip(contexts, frames, auds):
-                        rows.append((i, c, fr, au))
-                for lo in range(0, len(rows), max_coalesce):
-                    chunk = rows[lo:lo + max_coalesce]
-                    pad = (fixed_rows - len(chunk)) if fixed_rows else 0
-                    fin = self.generate_async(
-                        [r[1] for r in chunk] + [""] * pad,
-                        [r[2] for r in chunk] + [None] * pad,
-                        [r[3] for r in chunk] + [None] * pad,
-                        strategy=strategy,
-                        beam_size=beam_size, topk=topk, top_p=top_p,
-                        seed=seed + n_batches, frames_cap=frames_cap,
-                        audio_cap=audio_cap)
-                    n_batches += 1
-                    inflight.append((fin, chunk))
-        results: List[List[str]] = [[] for _ in jobs]
+        for key in sorted(groups, key=str):  # deterministic dispatch order
+            g = groups[key]
+            for lo in range(0, len(g), max_coalesce):
+                chunk = g[lo:lo + max_coalesce]
+                fin = self.generate_async(
+                    [r[2] for r in chunk], [r[3] for r in chunk],
+                    [r[4] for r in chunk], strategy=strategy,
+                    beam_size=beam_size, topk=topk, top_p=top_p,
+                    seed=seed + n_batches, frames_cap=key[0],
+                    audio_cap=key[1])
+                n_batches += 1
+                inflight.append((fin, chunk))
+        results: List[List[str]] = [[None] * len(p[0]) for p in preps]
         for fin, chunk in inflight:  # dispatch order == device FIFO order
             words = fin()
             t = _time.perf_counter()
-            for (i, *_), w in zip(chunk, words):
-                results[i].append(w)  # chunks preserve per-job span order
+            for (i, k, *_), w in zip(chunk, words):
+                results[i][k] = w
                 if completion_times is not None:
                     completion_times[i] = t  # last chunk carrying job i
         return results

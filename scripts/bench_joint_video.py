@@ -240,19 +240,12 @@ def run_corpus(n_videos=16, workers=4, seed=0, out_json=False,
     total_video_s = sum(j["seconds"] for j in jobs)
     decoded_frac = sum(b - a for j in jobs for a, b in j["spans"]) / total_video_s
 
-    # Coalesced mode runs FIXED-SHAPE (chunks padded to max_coalesce rows,
-    # AV caps pinned to the job set's maxima) so exactly ONE program serves
-    # every chunk composition — the variable-shape mode compiles one
-    # program per (batch bucket x AV bucket) pair the timing-dependent
-    # chunking produces, which is unbounded remote-compile time here.
-    from mmqg_tpu import decode as DEC
-    span_lens = np.array([max(1, int(b - a))
-                          for j in jobs for a, b in j["spans"]], np.int32)
-    gfcap = DEC.frames_bucket(pipe.mc, span_lens)
-    gacap = DEC.audio_bucket(
-        pipe.mc, (span_lens * pipe.mc.sample_rate).astype(np.int64))
-    co_kw = dict(coalesce=True, coalesce_fixed_shape=True, max_coalesce=32,
-                 frames_cap=gfcap, audio_cap=gacap)
+    # Coalesced mode groups question rows by AV bucket pair and dispatches
+    # fixed-cap combined batches — program count deterministic in the job
+    # set, per-row link bytes stay at each row's own span size (the
+    # global-max-cap variant measured 10x padding over the link and lost —
+    # PERF.md "rejected: global-cap coalescing").
+    co_kw = dict(coalesce=True, max_coalesce=32)
 
     # warmup: one FULL untimed pass per mode — corpus jobs span several
     # batch buckets (1, 2, 4 questions) and several AV buckets (8 s vs

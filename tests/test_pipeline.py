@@ -233,10 +233,10 @@ def test_generate_from_videos_coalesced_matches_per_video(trained, tmp_path):
     assert chunked == per_video
 
 
-def test_generate_from_videos_coalesced_fixed_shape(trained, tmp_path):
-    """Fixed-shape coalescing (chunks padded to max_coalesce rows, AV caps
-    pinned — one compiled program for every chunk composition) must return
-    exactly the per-video results; padded rows are trimmed."""
+def test_generate_from_videos_coalesced_mixed_buckets(trained, tmp_path):
+    """Bucket-grouped coalescing must restore each job's SPAN ORDER even
+    when one job's spans land in different AV-bucket groups (short + long
+    span in the same video), and still equal the per-video results."""
     pytest.importorskip("cv2")
     from mmqg_tpu.data import native
 
@@ -245,17 +245,19 @@ def test_generate_from_videos_coalesced_fixed_shape(trained, tmp_path):
     jobs = []
     for v in range(2):
         video = tmp_path / f"fx{v}.mp4"
-        if not native.write_test_av_mp4(video, seconds=6.0,
+        if not native.write_test_av_mp4(video, seconds=8.0,
                                         freq=300 + 100 * v, fps=10):
             pytest.skip("AAC/MPEG-4 encoders not built into libavcodec")
+        # span 0 is short (1 s ≈ 1 frame), span 1 long (6 s): different
+        # frames/audio buckets at the tiny config's av_max, so the two
+        # questions of ONE job ride DIFFERENT coalesced batches
         jobs.append({"video_path": video,
-                     "spans": [(1.0, 3.0), (3.0, 5.0)],
+                     "spans": [(1.0, 2.0), (1.5, 7.5)],
                      "contexts": ["what is the process",
                                   "the value of the system"]})
 
     pipe = QGPipeline.from_checkpoint(trained, alias="best")
     per_video = pipe.generate_from_videos(jobs, workers=2)
-    fixed = pipe.generate_from_videos(jobs, workers=2, coalesce=True,
-                                      coalesce_fixed_shape=True,
-                                      max_coalesce=8)
-    assert fixed == per_video
+    grouped = pipe.generate_from_videos(jobs, workers=2, coalesce=True,
+                                        max_coalesce=8)
+    assert grouped == per_video
