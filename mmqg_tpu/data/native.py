@@ -110,12 +110,17 @@ def _get_media_lib_locked() -> Optional[ctypes.CDLL]:
     if _media_lib is not None or _media_tried:
         return _media_lib
     _media_tried = True
-    if not _MEDIA_LIB_PATH.exists():
+    src = _NATIVE_DIR / "mmqg_media.cpp"
+    stale = (_MEDIA_LIB_PATH.exists() and src.exists()
+             and src.stat().st_mtime > _MEDIA_LIB_PATH.stat().st_mtime)
+    if not _MEDIA_LIB_PATH.exists() or stale:
         try:
             subprocess.run(["make", "-C", str(_NATIVE_DIR), "media"],
                            check=True, capture_output=True, timeout=120)
         except Exception:
-            return None
+            if not _MEDIA_LIB_PATH.exists():
+                return None  # stale-but-loadable is still usable (hasattr
+            # guards below skip symbols the old build lacks)
         if not _MEDIA_LIB_PATH.exists():
             return None
     try:
@@ -129,6 +134,14 @@ def _get_media_lib_locked() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
         ctypes.c_double, ctypes.c_double,
         ctypes.POINTER(ctypes.c_int16), ctypes.c_long]
+    if hasattr(lib, "mmqg_decode_audio_spans"):  # absent in stale builds
+        lib.mmqg_decode_audio_spans.restype = ctypes.c_long
+        lib.mmqg_decode_audio_spans.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_long, ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_long)]
     lib.mmqg_media_video_info.restype = ctypes.c_long
     lib.mmqg_media_video_info.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_double),
@@ -206,6 +219,68 @@ def decode_audio(path, target_rate: int, *, channels: int = 1,
         return None
     pcm = out[: n * channels]
     return pcm if channels == 1 else pcm.reshape(-1, channels)
+
+
+def decode_audio_spans(path, target_rate: int,
+                       spans: Sequence, *,
+                       channels: int = 1) -> Optional[List[np.ndarray]]:
+    """Decode many [start, end) spans of one file's audio with a SINGLE
+    demux+decoder open (native mmqg_decode_audio_spans). Per-span results
+    are byte-identical to individual ``decode_audio`` calls — each span
+    seeks and flushes — but the ~1.3 ms open cost is paid once per file
+    instead of once per span (PERF.md "Host-prep leg profile": the per-span
+    open was the top host cost at corpus density).
+
+    ``spans``: (start_s, end_s) pairs; end_s may be None for to-EOF.
+    Returns a list of int16 arrays (shape (n,) mono / (n, channels)
+    interleaved) or None when the lib/symbol is unavailable or any span
+    fails (caller falls back to per-span or ffmpeg paths). Raises
+    ValueError for a readable file WITHOUT an audio stream."""
+    lib = get_media_lib()
+    if lib is None or not hasattr(lib, "mmqg_decode_audio_spans"):
+        return None
+    spans = list(spans)
+    if not spans:
+        return []
+    dur = None
+    max_frames = []
+    for start, end in spans:
+        if end is None:
+            if dur is None:
+                dur = media_duration(path)
+                if dur is None:
+                    return None
+            seconds = max(dur - start, 0.0)
+        else:
+            seconds = max(end - start, 0.0)
+        # +1 s slack: codec priming/padding can run past the nominal span
+        max_frames.append(int(seconds * target_rate) + target_rate)
+    n = len(spans)
+    starts = np.array([s for s, _ in spans], np.float64)
+    ends = np.array([(e if e is not None else 0.0) for _, e in spans],
+                    np.float64)
+    caps = np.array(max_frames, np.int64)
+    offsets = np.concatenate(([0], np.cumsum(caps)[:-1]))
+    written = np.zeros(n, np.int64)
+    out = np.zeros((int(caps.sum()) * channels,), np.int16)
+    rc = lib.mmqg_decode_audio_spans(
+        str(path).encode(), target_rate, channels,
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ends.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        caps.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        written.ctypes.data_as(ctypes.POINTER(ctypes.c_long)))
+    if rc == -2:
+        raise ValueError(f"{path}: no audio stream")
+    if rc != 0:
+        return None
+    result = []
+    for i in range(n):
+        lo = int(offsets[i]) * channels
+        pcm = out[lo: lo + int(written[i]) * channels].copy()
+        result.append(pcm if channels == 1 else pcm.reshape(-1, channels))
+    return result
 
 
 def video_info(path) -> Optional[dict]:

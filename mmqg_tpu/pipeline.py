@@ -553,12 +553,17 @@ class QGPipeline:
         if native.media_available():
             # in-process demux (native/mmqg_media.cpp): seek-decode ONLY
             # each span at the model rate — no temp wav, no subprocess,
-            # no full-track decode
+            # no full-track decode; ONE open serves every span
+            # (decode_audio_spans; per-span decode_audio is the fallback
+            # for stale builds)
             try:
-                decoded = [native.decode_audio(video_path,
-                                               self.mc.sample_rate,
-                                               start=a, end=b)
-                           for a, b in spans_s]
+                decoded = native.decode_audio_spans(
+                    video_path, self.mc.sample_rate, spans_s)
+                if decoded is None:
+                    decoded = [native.decode_audio(video_path,
+                                                   self.mc.sample_rate,
+                                                   start=a, end=b)
+                               for a, b in spans_s]
                 if all(d is not None for d in decoded):
                     return decoded
                 # else: this libav build can't decode the file — fall

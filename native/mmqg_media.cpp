@@ -26,6 +26,7 @@ extern "C" {
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <ctime>
 #include <vector>
 
@@ -62,6 +63,21 @@ struct Demux {
     // other failure): that is a capability error (-1, caller falls back to
     // the ffmpeg binary), NOT "no stream"
     if (stream < 0 || !codec) return -1;
+    return open_decoder();
+  }
+
+  // (Re)create the codec context from the stream's parameters. Reused
+  // between spans of one file: avcodec_flush_buffers does NOT reset every
+  // decoder's signal state (the AAC overlap-add window survives it —
+  // measured as a ~2900-LSB burst at a reused span's head vs a fresh
+  // open), so bit-identical multi-span decode needs a FRESH decoder per
+  // span while the demux open (file probe + find_stream_info, the
+  // expensive part) is paid once.
+  int open_decoder() {
+    if (dec) avcodec_free_context(&dec);
+    const AVCodec* codec =
+        avcodec_find_decoder(fmt->streams[stream]->codecpar->codec_id);
+    if (!codec) return -1;
     dec = avcodec_alloc_context3(codec);
     if (!dec) return -1;
     if (avcodec_parameters_to_context(dec, fmt->streams[stream]->codecpar) < 0)
@@ -114,40 +130,30 @@ struct Resampler {
   }
 };
 
-}  // namespace
-
-extern "C" {
-
-// Container duration in seconds; <0 on error.
-double mmqg_media_duration(const char* path) {
-  Demux d;
-  int rc = d.open(path);
-  if (rc == -1) return -1.0;
-  if (d.fmt->duration == AV_NOPTS_VALUE) return -1.0;
-  return (double)d.fmt->duration / AV_TIME_BASE;
-}
-
-// Decode the first audio stream of ANY container (mp4/mkv/wav/...) to
-// interleaved S16 at target_rate x channels. [start_s, end_s) seconds;
-// end_s <= 0 means to EOF. Writes at most max_frames frames (one frame =
-// `channels` samples) into out. Returns frames written; -1 on error; -2 if
-// the file has no audio stream.
-long mmqg_decode_audio(const char* path, int target_rate, int channels,
+// One span's decode against an ALREADY-OPEN audio demux: seek (keyframe
+// at/before start), flush, decode, resample, trim to [start_s, end_s).
+// `fresh` marks a just-opened demux — there the seek is skipped for
+// start_s <= 0 (the stream is already at the head), matching the original
+// single-span entry point byte for byte. Reused demuxes (fresh=false)
+// ALWAYS seek+flush: the previous span left the decoder mid-stream or in
+// drain mode, and the flush is what resets it. Returns frames written
+// (partial output counts), -1 on decode error.
+long decode_audio_span(Demux& d, int target_rate, int channels,
                        double start_s, double end_s, int16_t* out,
-                       long max_frames) {
-  if (!path || !out || target_rate <= 0 || channels <= 0 || max_frames < 0)
-    return -1;
-  Demux d;
-  int rc = d.open(path);
-  if (rc != 0) return rc;
+                       long max_frames, bool fresh) {
+  if (max_frames < 0) return -1;
   AVStream* st = d.fmt->streams[d.stream];
   const double tb = av_q2d(st->time_base);
 
-  if (start_s > 0) {
-    int64_t ts = (int64_t)llround(start_s / tb);
+  if (!fresh && d.open_decoder() != 0)
+    return -1;  // fresh decoder per span: see Demux::open_decoder
+  if (start_s > 0 || !fresh) {
+    int64_t ts = (int64_t)llround(std::max(start_s, 0.0) / tb);
     // backward seek lands on/before the target; we trim by sample below
     if (av_seek_frame(d.fmt, d.stream, ts, AVSEEK_FLAG_BACKWARD) >= 0)
       avcodec_flush_buffers(d.dec);
+    else if (!fresh)
+      return -1;  // reused demux we cannot reposition: would read garbage
   }
 
   Resampler rs(target_rate, channels);
@@ -247,6 +253,82 @@ long mmqg_decode_audio(const char* path, int target_rate, int channels,
   av_frame_free(&frame);
   if (failed && written == 0) return -1;
   return written;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Container duration in seconds; <0 on error.
+double mmqg_media_duration(const char* path) {
+  Demux d;
+  int rc = d.open(path);
+  if (rc == -1) return -1.0;
+  if (d.fmt->duration == AV_NOPTS_VALUE) return -1.0;
+  return (double)d.fmt->duration / AV_TIME_BASE;
+}
+
+// Decode the first audio stream of ANY container (mp4/mkv/wav/...) to
+// interleaved S16 at target_rate x channels. [start_s, end_s) seconds;
+// end_s <= 0 means to EOF. Writes at most max_frames frames (one frame =
+// `channels` samples) into out. Returns frames written; -1 on error; -2 if
+// the file has no audio stream.
+long mmqg_decode_audio(const char* path, int target_rate, int channels,
+                       double start_s, double end_s, int16_t* out,
+                       long max_frames) {
+  if (!path || !out || target_rate <= 0 || channels <= 0 || max_frames < 0)
+    return -1;
+  Demux d;
+  int rc = d.open(path);
+  if (rc != 0) return rc;
+  return decode_audio_span(d, target_rate, channels, start_s, end_s, out,
+                           max_frames, /*fresh=*/true);
+}
+
+// Decode N spans of the first audio stream with ONE demux open (plus a
+// cheap per-span decoder reopen — Demux::open_decoder). The per-span file
+// open (~1.3 ms each: avformat_open_input + find_stream_info) was the top
+// host-prep cost at corpus span density once the frame path got its
+// index-aware seek (PERF.md "Host-prep leg profile"); serving salient
+// spans of one video (reference dataset/get_salient_audioclips.py:6-17
+// semantics) pays it once here. Span i writes at out + offsets[i]*channels,
+// at most max_frames[i] frames; written[i] receives that span's frame
+// count (-1 if that span failed; other spans stay valid). Every span's
+// bytes are identical to a fresh-open mmqg_decode_audio call (tested:
+// tests/test_media_native.py) — reused spans get a fresh decoder, and a
+// reused span starting at 0 reopens the FILE: the demuxer's head state
+// (AAC priming/edit-list side data) is not reproducible by an explicit
+// seek to ts 0 (measured ~250 differing samples otherwise). Returns 0 all
+// spans ok, -1 io/parse error, -2 no audio stream, -3 some span failed.
+long mmqg_decode_audio_spans(const char* path, int target_rate, int channels,
+                             const double* starts, const double* ends,
+                             long n_spans, int16_t* out, const long* offsets,
+                             const long* max_frames, long* written) {
+  if (!path || !out || !starts || !ends || !offsets || !max_frames ||
+      !written || target_rate <= 0 || channels <= 0 || n_spans < 0)
+    return -1;
+  std::unique_ptr<Demux> d(new Demux);
+  int rc = d->open(path);
+  if (rc != 0) return rc;
+  bool any_failed = false;
+  for (long i = 0; i < n_spans; ++i) {
+    bool fresh = i == 0;
+    if (!fresh && starts[i] <= 0) {
+      d.reset(new Demux);
+      if (d->open(path) != 0) {
+        written[i] = -1;
+        any_failed = true;
+        continue;
+      }
+      fresh = true;
+    }
+    long n = decode_audio_span(*d, target_rate, channels, starts[i], ends[i],
+                               out + (size_t)offsets[i] * channels,
+                               max_frames[i], fresh);
+    written[i] = n;
+    if (n < 0) any_failed = true;
+  }
+  return any_failed ? -3 : 0;
 }
 
 // Video stream info. Returns 0 ok, -1 io/parse error, -2 no video stream.

@@ -416,7 +416,12 @@ def run(n_videos=8, seconds=90.0, spans_per_video=8, workers=4,
 
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
-    if "--corpus" in sys.argv:
+    if "--both" in sys.argv:
+        # corpus then dense in ONE process: shared shapes reuse their
+        # compiled programs (remote compile is 30 s-10 min on this backend)
+        run_corpus(n_videos=int(args[0]) if len(args) > 0 else 16)
+        run()
+    elif "--corpus" in sys.argv:
         run_corpus(n_videos=int(args[0]) if len(args) > 0 else 16,
                    out_json="--json" in sys.argv)
     else:

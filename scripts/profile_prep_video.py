@@ -74,10 +74,25 @@ def profile_shape(name, seconds, spans_s, reps=3):
                                                        (112, 112))
     t_saliency = time.perf_counter() - t0
 
-    # audio: per-span seek decode at the model rate (pipeline._span_audio)
-    t0 = time.perf_counter()
-    audio = [native.decode_audio(v, 16000, start=a, end=b) for a, b in spans_s]
-    t_audio = time.perf_counter() - t0
+    # audio: per-span seek decode at the model rate — the pre-round-4
+    # _span_audio path (one demux open PER SPAN), kept as the A side
+    t_audio = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        audio = [native.decode_audio(v, 16000, start=a, end=b)
+                 for a, b in spans_s]
+        t_audio = min(t_audio or 1e9, time.perf_counter() - t0)
+
+    # audio lever (round 4): ONE demux open serves every span
+    # (native.decode_audio_spans — what _span_audio now uses); bytes must
+    # match the per-span path exactly
+    t_audio_b = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        audio_b = native.decode_audio_spans(v, 16000, spans_s)
+        t_audio_b = min(t_audio_b or 1e9, time.perf_counter() - t0)
+    assert audio_b is not None and all(
+        np.array_equal(x, y) for x, y in zip(audio_b, audio))
 
     t0 = time.perf_counter()
     ctx = [preprocess_text("what is the process of the system")
@@ -105,10 +120,12 @@ def profile_shape(name, seconds, spans_s, reps=3):
               f"decode {1000 * legs['decode_s']:.1f}, "
               f"sws {1000 * legs['sws_s']:.1f})  found {found}")
     print(f"  saliency wrapper total:   {1000 * t_saliency:7.1f} ms")
-    print(f"  audio spans decode:       {1000 * t_audio:7.1f} ms")
+    print(f"  audio per-span opens:     {1000 * t_audio:7.1f} ms")
+    print(f"  audio one-open batched:   {1000 * t_audio_b:7.1f} ms "
+          f"({t_audio / t_audio_b:.2f}x)")
     print(f"  context normalise:        {1000 * t_ctx:7.1f} ms")
     print(f"  pack (flagship dims):     {1000 * t_pack:7.1f} ms")
-    total = t_saliency + t_audio + t_ctx + t_pack
+    total = t_saliency + t_audio_b + t_ctx + t_pack
     print(f"  TOTAL _prep_video-equiv:  {1000 * total:7.1f} ms "
           f"({seconds / total:.0f}x realtime)")
     return total

@@ -70,6 +70,54 @@ def test_decode_span_is_sample_accurate(tmp_path):
     assert np.abs(head).max() == 0  # silence, not tone
 
 
+def test_decode_audio_spans_bit_identical_wav(sine_wav):
+    """One-open multi-span decode == per-span fresh-open decode, byte for
+    byte: the reuse path must be a pure cost optimisation (each span
+    seeks+flushes — native decode_audio_span fresh=false)."""
+    if not hasattr(native.get_media_lib(), "mmqg_decode_audio_spans"):
+        pytest.skip("stale media build without span entry point")
+    spans = [(0.0, 0.5), (1.0, 1.4), (0.3, 0.9),  # incl. start=0, backwards
+             (1.2, None)]                          # and to-EOF
+    batched = native.decode_audio_spans(sine_wav, 16000, spans)
+    assert batched is not None and len(batched) == len(spans)
+    for (a, b), got in zip(spans, batched):
+        ref = native.decode_audio(sine_wav, 16000, start=a, end=b)
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_decode_audio_spans_bit_identical_mp4(tmp_path):
+    """Same contract through a real AAC stream (priming/seek semantics are
+    codec-dependent; the mp4 path is what serving uses)."""
+    if not hasattr(native.get_media_lib(), "mmqg_decode_audio_spans"):
+        pytest.skip("stale media build without span entry point")
+    path = tmp_path / "tone.mp4"
+    if not native.write_test_tone_mp4(path, seconds=3.0, freq=440):
+        pytest.skip("AAC encoder not built into system libavcodec")
+    spans = [(0.5, 1.5), (2.0, 2.75), (0.0, 0.25), (1.0, 1.8)]
+    batched = native.decode_audio_spans(path, 16000, spans, channels=2)
+    assert batched is not None
+    for (a, b), got in zip(spans, batched):
+        ref = native.decode_audio(path, 16000, start=a, end=b, channels=2)
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_decode_audio_spans_edge_cases(tmp_path, sine_wav):
+    if not hasattr(native.get_media_lib(), "mmqg_decode_audio_spans"):
+        pytest.skip("stale media build without span entry point")
+    assert native.decode_audio_spans(sine_wav, 16000, []) == []
+    assert native.decode_audio_spans(tmp_path / "nope.mp4", 16000,
+                                     [(0.0, 1.0)]) is None
+    cv2 = pytest.importorskip("cv2")
+    silent = tmp_path / "silent.mp4"
+    vw = cv2.VideoWriter(str(silent), cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                         (32, 32))
+    for _ in range(10):
+        vw.write(np.zeros((32, 32, 3), np.uint8))
+    vw.release()
+    with pytest.raises(ValueError, match="no audio stream"):
+        native.decode_audio_spans(silent, 16000, [(0.0, 0.5)])
+
+
 def test_media_duration(sine_wav):
     d = native.media_duration(sine_wav)
     assert d is not None and abs(d - 1.5) < 0.05
