@@ -18,10 +18,14 @@ REFERENCE DIMS. This is the round-3 VERDICT weak #3 bridge: the
 to-convergence run (scripts/convergence_parity.py, 1528 steps/side) is at
 scaled dims; the full-dims leg was 12 steps; N=100 extends full-dims
 agreement past the point where any systematic divergence (wrong decay
-handling, drifting state) would compound visibly. rtol widens with N
-(f32 reassociation noise accumulates through the 20-BN video trunk —
-NOTES_NEXT_ROUND.md round-3 remat note); per-step deltas are printed so
-the drift PROFILE is visible, not just the endpoint bound.
+handling, drifting state) would compound visibly. The contract is
+horizon-aware (see run_trajectory): tight per-step agreement over the
+short horizon, coincident descent curves over the long one — per-step f32
+reassociation noise grows exponentially on the loss landscape and
+saturates by step ~25 (the jax-vs-jax 1-ulp control
+scripts/trajectory_noise_control.py diverges identically, so per-step
+deltas past that point carry no implementation signal). Per-step deltas
+are printed so the drift PROFILE is visible, not just the endpoint bound.
 """
 
 import sys
@@ -49,14 +53,35 @@ def run_trajectory(steps: int):
     composed = build_composed(d, seed=0)
     print(f"built + imported in {time.time() - t0:.1f}s")
     t0 = time.time()
-    j, t = check_training_equivalence(composed, d, steps=steps, rtol=2e-2,
+    j, t = check_training_equivalence(composed, d, steps=steps, rtol=None,
                                       log=print)
-    rel = np.abs(np.asarray(j) - np.asarray(t)) / np.abs(np.asarray(t))
+    j, t = np.asarray(j), np.asarray(t)
+    rel = np.abs(j - t) / np.abs(t)
+    # Horizon-aware contract (measured 2026-08-21, PARITY.md "full-dims
+    # trajectory horizon"): per-step agreement is only meaningful over the
+    # short horizon — per-step f32 reassociation noise between torch and
+    # XLA grows exponentially on the loss landscape (Lyapunov) and
+    # SATURATES at the inter-step loss variation by step ~25; the control
+    # (scripts/trajectory_noise_control.py: the same jax trainer twice,
+    # inits one f32 ulp apart) diverges to the same level, so a blanket
+    # 100-step rtol would reject two bit-identical implementations. What a
+    # systematic bug would actually move is the loss LEVEL, so the long
+    # horizon asserts the descent curves coincide: mean loss over the
+    # final fifth of the run.
+    short = min(12, steps)
+    assert rel[:short].max() < 2e-3, \
+        f"short-horizon drift: {rel[:short].max():.2e} at full dims"
+    tail = max(steps // 5, 1)
+    tail_rel = abs(j[-tail:].mean() - t[-tail:].mean()) / t[-tail:].mean()
+    assert tail_rel < 1e-2, f"descent curves separated: {tail_rel:.2e}"
+    grow = (rel > 1e-2).argmax() if (rel > 1e-2).any() else None
     print(f"TRAJECTORY AT REFERENCE DIMS: PASS ({steps} steps, "
-          f"{time.time() - t0:.1f}s; per-step rel-delta median "
-          f"{np.median(rel):.2e}, max {rel.max():.2e} at step "
-          f"{int(rel.argmax())}; final losses jax {j[-1]:.6f} "
-          f"torch {t[-1]:.6f})")
+          f"{time.time() - t0:.1f}s; short-horizon max rel "
+          f"{rel[:short].max():.2e} over {short} steps; chaos saturation: "
+          f"first step >1e-2 {grow}, median {np.median(rel):.2e}, "
+          f"max {rel.max():.2e} at step {int(rel.argmax())}; "
+          f"last-{tail}-step mean loss jax {j[-tail:].mean():.4f} "
+          f"torch {t[-tail:].mean():.4f} rel {tail_rel:.1e})")
 
 
 def main():
