@@ -38,8 +38,13 @@ def _run_child():
 
 
 def test_mesh_suite_isolated():
+    # Three attempts: one retry proved insufficient when the REST of the
+    # suite keeps the single core loaded for the whole child run (observed
+    # 2026-08-21: both attempts SIGABRT'd in a full-suite pass, then the
+    # identical child passed standalone). Abnormal exits only — a real
+    # test failure still fails on the first try.
     last = None
-    for attempt in (1, 2):
+    for attempt in (1, 2, 3):
         last = _run_child()
         if last.returncode == 0:
             return
