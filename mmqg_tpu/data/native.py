@@ -111,16 +111,28 @@ def _get_media_lib_locked() -> Optional[ctypes.CDLL]:
         return _media_lib
     _media_tried = True
     src = _NATIVE_DIR / "mmqg_media.cpp"
-    stale = (_MEDIA_LIB_PATH.exists() and src.exists()
-             and src.stat().st_mtime > _MEDIA_LIB_PATH.stat().st_mtime)
+    makefile = _NATIVE_DIR / "Makefile"
+    # staleness keys on the source AND the Makefile: flag/rule changes must
+    # also trigger a rebuild (ADVICE r4)
+    newest_src = max((p.stat().st_mtime for p in (src, makefile)
+                      if p.exists()), default=0.0)
+    stale = (_MEDIA_LIB_PATH.exists()
+             and newest_src > _MEDIA_LIB_PATH.stat().st_mtime)
     if not _MEDIA_LIB_PATH.exists() or stale:
         try:
             subprocess.run(["make", "-C", str(_NATIVE_DIR), "media"],
                            check=True, capture_output=True, timeout=120)
         except Exception:
             if not _MEDIA_LIB_PATH.exists():
-                return None  # stale-but-loadable is still usable (hasattr
-            # guards below skip symbols the old build lacks)
+                return None
+            # stale-but-loadable is still usable (hasattr guards below skip
+            # symbols the old build lacks) — but say so, or a failed rebuild
+            # silently serves old native code
+            import warnings
+            warnings.warn(
+                "native media lib rebuild failed; using the STALE "
+                f"{_MEDIA_LIB_PATH.name} (run `make -C native media` to see "
+                "the compile error)", RuntimeWarning)
         if not _MEDIA_LIB_PATH.exists():
             return None
     try:

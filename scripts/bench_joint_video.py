@@ -419,8 +419,9 @@ if __name__ == "__main__":
     if "--both" in sys.argv:
         # corpus then dense in ONE process: shared shapes reuse their
         # compiled programs (remote compile is 30 s-10 min on this backend)
-        run_corpus(n_videos=int(args[0]) if len(args) > 0 else 16)
-        run()
+        run_corpus(n_videos=int(args[0]) if len(args) > 0 else 16,
+                   out_json="--json" in sys.argv)
+        run(out_json="--json" in sys.argv)
     elif "--corpus" in sys.argv:
         run_corpus(n_videos=int(args[0]) if len(args) > 0 else 16,
                    out_json="--json" in sys.argv)

@@ -72,8 +72,11 @@ def run_trajectory(steps: int):
     assert rel[:short].max() < 2e-3, \
         f"short-horizon drift: {rel[:short].max():.2e} at full dims"
     tail = max(steps // 5, 1)
-    tail_rel = abs(j[-tail:].mean() - t[-tail:].mean()) / t[-tail:].mean()
-    assert tail_rel < 1e-2, f"descent curves separated: {tail_rel:.2e}"
+    tail_rel = abs(j[-tail:].mean() - t[-tail:].mean()) / abs(t[-tail:].mean())
+    # 3e-3 bound: the measured separation is 3e-4 (PARITY.md "full-dims
+    # trajectory horizon"), so 10x headroom still catches a systematic
+    # ~0.5-1% loss-level shift the old 1e-2 bound would have passed
+    assert tail_rel < 3e-3, f"descent curves separated: {tail_rel:.2e}"
     grow = (rel > 1e-2).argmax() if (rel > 1e-2).any() else None
     print(f"TRAJECTORY AT REFERENCE DIMS: PASS ({steps} steps, "
           f"{time.time() - t0:.1f}s; short-horizon max rel "
