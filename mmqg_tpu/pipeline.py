@@ -217,6 +217,22 @@ class QGPipeline:
         return [" ".join(ws) for ws in
                 DEC.tokens_to_words(np.asarray(tokens), self.index_to_word)]
 
+    def av_bucket_key(self, frames: Optional[np.ndarray],
+                      audio: Optional[np.ndarray]) -> tuple:
+        """(frames bucket, audio bucket) for ONE example — THE grouping key
+        for coalesced batching. One shared policy for
+        ``generate_from_videos(coalesce=True)`` and the serve daemon's
+        bucket-grouped micro-batching, so the two cannot diverge (the
+        decode programs are keyed on exactly these caps)."""
+        mc = self.mc
+        fb = (DEC.frames_bucket(
+            mc, np.array([len(frames) if frames is not None else 1]))
+            if mc.mode in ("text_video", "trimodal") else None)
+        ab = (DEC.audio_bucket(
+            mc, np.array([len(audio) if audio is not None else 0]))
+            if mc.mode == "trimodal" else None)
+        return (fb, ab)
+
     # ----------------------------------------------------------- serving
     def generate(
         self,
@@ -566,9 +582,6 @@ class QGPipeline:
                 contexts=job.get("contexts"),
                 audio_path=job.get("audio_path"))
 
-        mc = self.mc
-        trimodal = mc.mode == "trimodal"
-        has_av = mc.mode in ("text_video", "trimodal")
         groups: Dict[tuple, List[tuple]] = {}
         inflight: List = []  # (finalizer, chunk) in dispatch (FIFO) order
         n_rows: List[Optional[int]] = [None] * len(jobs)
@@ -595,20 +608,15 @@ class QGPipeline:
                 n_rows[i] = len(contexts)
                 auds = audio if audio is not None else [None] * len(contexts)
                 for k, (c, fr, au) in enumerate(zip(contexts, frames, auds)):
-                    fb = (DEC.frames_bucket(
-                        mc, np.array([len(fr) if fr is not None else 1]))
-                        if has_av else None)
-                    ab = (DEC.audio_bucket(
-                        mc, np.array([len(au) if au is not None else 0]))
-                        if trimodal else None)
+                    key = self.av_bucket_key(fr, au)
                     # (job, span-index) ride along: one job's spans can land
                     # in DIFFERENT bucket groups, so span order is restored
                     # by position, not append order
-                    g = groups.setdefault((fb, ab), [])
+                    g = groups.setdefault(key, [])
                     g.append((i, k, c, fr, au))
                     if len(g) >= max_coalesce:  # full: dispatch NOW
-                        dispatch((fb, ab), g)
-                        groups[(fb, ab)] = []
+                        dispatch(key, g)
+                        groups[key] = []
         for key in sorted(groups, key=str):  # deterministic drain order
             if groups[key]:
                 dispatch(key, groups[key])

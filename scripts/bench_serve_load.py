@@ -101,7 +101,64 @@ def make_requests(tmp: Path, n: int, frame_size: int, span_s: float = 8.0,
             for i in range(n)]
 
 
-def warm_buckets(pipe, lines, max_batch: int):
+def make_raw_video_requests(tmp: Path, n: int, span_s: float = 8.0,
+                            n_videos: int = 8, video_s: float = 60.0):
+    """Raw-video requests — the north-star request form: {"video", "span"}.
+    Each request seek-decodes its OWN 8 s span (frames at the model rate +
+    span audio) in-process at serve time; K distinct mp4s cycled over n ids
+    with varying span offsets, all spans the same length so the AV buckets
+    — and the XLA programs — are shared."""
+    from mmqg_tpu.data import native
+
+    if not native.media_available():
+        raise SystemExit("native media lib unavailable (make -C native media)")
+    videos = []
+    for k in range(n_videos):
+        v = tmp / f"load{k}.mp4"
+        if not native.write_test_av_mp4(v, seconds=video_s, freq=220 + 30 * k,
+                                        width=320, height=240, fps=24):
+            raise SystemExit("AAC/MPEG-4 encoders not in system libavcodec")
+        videos.append(v)
+    ctx = "what is the process of the system"
+    reqs = []
+    for i in range(n):
+        start = 2.0 + (i % 6) * ((video_s - span_s - 4.0) / 6)
+        reqs.append(json.dumps({"id": i, "video": str(videos[i % n_videos]),
+                                "span": [start, start + span_s],
+                                "context": ctx}))
+    return reqs
+
+
+def make_mixed_requests(tmp: Path, n: int, frame_size: int,
+                        short_s: float = 1.0, long_s: float = 32.0,
+                        rate: int = 16000):
+    """Half short-span, half long-span staged requests, interleaved — the
+    heterogeneous mix that exposes batch-max bucketing (a 1 s request
+    batched with a 32 s companion pays the long program + its padding)."""
+    from mmqg_tpu.data import wav as wavio
+
+    rng = np.random.RandomState(0)
+    files = {}
+    for name, span in (("short", short_s), ("long", long_s)):
+        f = tmp / f"mx_{name}.npy"
+        np.save(f, rng.randint(0, 256,
+                               (max(1, int(span)), frame_size, frame_size, 3),
+                               np.uint8))
+        w = tmp / f"mx_{name}.wav"
+        wavio.write_wav(w, (rng.randn(int(span * rate)) * 3000)
+                        .astype(np.int16), rate)
+        files[name] = (f, w)
+    ctx = "what is the process of the system"
+    out = []
+    for i in range(n):
+        name = "short" if i % 2 == 0 else "long"
+        out.append(json.dumps({"id": f"{name}{i}", "context": ctx,
+                               "frames_npy": str(files[name][0]),
+                               "audio_wav": str(files[name][1])}))
+    return out
+
+
+def warm_buckets(pipe, lines, max_batch: int, **serve_kw):
     """Compile every batch bucket 1..max_batch by forming exact-size
     batches: b instantly-available requests with max_batch=b."""
     from mmqg_tpu.serve import serve
@@ -110,12 +167,12 @@ def warm_buckets(pipe, lines, max_batch: int):
     while b <= max_batch:
         src = iter(lines[:b])
         serve(pipe, strategy="greedy", max_batch=b, linger_ms=300,
-              inp=src, out=Recorder())
+              inp=src, out=Recorder(), **serve_kw)
         b <<= 1
 
 
 def run_cell(pipe, lines, rate: float, linger_ms: float, max_batch: int,
-             seed: int = 0):
+             seed: int = 0, **serve_kw):
     from mmqg_tpu.serve import serve
 
     send_times: dict = {}
@@ -123,18 +180,24 @@ def run_cell(pipe, lines, rate: float, linger_ms: float, max_batch: int,
     src = PoissonSource(lines, rate, send_times, seed=seed)
     t0 = time.monotonic()
     serve(pipe, strategy="greedy", max_batch=max_batch,
-          linger_ms=linger_ms, inp=src, out=rec)
+          linger_ms=linger_ms, inp=src, out=rec, **serve_kw)
     lat, sizes = [], []
+    by_class: dict = {}
     last = t0
     for t, resp in rec.responses:
         if "question" not in resp:
             continue
-        lat.append(t - send_times[resp["id"]])
+        el = t - send_times[resp["id"]]
+        lat.append(el)
+        cls = (resp["id"].rstrip("0123456789")
+               if isinstance(resp["id"], str) else None)
+        if cls:
+            by_class.setdefault(cls, []).append(el)
         sizes.append(resp["batch_size"])
         last = max(last, t)
     lat = np.array(lat)
     first_send = min(send_times.values())
-    return {
+    cell = {
         "rate_req_s": rate,
         "linger_ms": linger_ms,
         "max_batch": max_batch,
@@ -145,12 +208,68 @@ def run_cell(pipe, lines, rate: float, linger_ms: float, max_batch: int,
         "p99_ms": round(1000 * float(np.percentile(lat, 99)), 1),
         "mean_batch": round(float(np.mean(sizes)), 1),
     }
+    for cls, els in sorted(by_class.items()):
+        cell[f"p50_ms_{cls}"] = round(1000 * float(np.percentile(els, 50)), 1)
+        cell[f"p99_ms_{cls}"] = round(1000 * float(np.percentile(els, 99)), 1)
+    return cell
+
+
+def _table(cells):
+    print("\n| max_batch | linger_ms | rate req/s | achieved q/s | p50 ms "
+          "| p90 ms | p99 ms | mean batch |")
+    print("|---|---|---|---|---|---|---|---|")
+    for c in cells:
+        print(f"| {c['max_batch']} | {c['linger_ms']:.0f} | "
+              f"{c['rate_req_s']} | {c['achieved_q_s']} | {c['p50_ms']} | "
+              f"{c['p90_ms']} | {c['p99_ms']} | {c['mean_batch']} |")
 
 
 def main():
     quick = "--quick" in sys.argv
+    raw = "--raw" in sys.argv
+    mixed = "--mixed" in sys.argv
     pipe = build_pipeline()
     tmp = Path(tempfile.mkdtemp(prefix="serve_load_"))
+
+    if mixed:
+        # bucket-grouping A/B on the heterogeneous span mix (round-4
+        # VERDICT weak #2): short requests' latency with and without the
+        # per-bucket batch split, same Poisson stream
+        n = 24 if quick else 128
+        lines = make_mixed_requests(tmp, n, pipe.mc.frame_size)
+        cells = []
+        for bucket_group in (False, True):
+            print(f"warming (bucket_group={bucket_group}) ...", flush=True)
+            warm_buckets(pipe, lines, 32, bucket_group=bucket_group)
+            for rate in ([16] if quick else [8, 32]):
+                cell = run_cell(pipe, lines, rate, 25.0, 32,
+                                bucket_group=bucket_group)
+                cell["bucket_group"] = bucket_group
+                cells.append(cell)
+                print(json.dumps(cell), flush=True)
+        _table(cells)
+        return
+
+    if raw:
+        # the north-star request form under load (round-4 VERDICT missing
+        # #3): every request seek-decodes its own span at serve time on the
+        # prep pool
+        n = 16 if quick else 128
+        print("synthesizing load videos ...", flush=True)
+        lines = make_raw_video_requests(tmp, n)
+        max_batches = [8] if quick else [8, 32]
+        print("warming batch buckets ...", flush=True)
+        warm_buckets(pipe, lines, max(max_batches))
+        cells = []
+        rates = [8] if quick else [4, 8, 16, 32]
+        for mb in max_batches:
+            for rate in rates:
+                cell = run_cell(pipe, lines, rate, 25.0, mb)
+                cells.append(cell)
+                print(json.dumps(cell), flush=True)
+        _table(cells)
+        return
+
     n = 24 if quick else 192
     lines = make_requests(tmp, n, pipe.mc.frame_size)
 
@@ -167,14 +286,7 @@ def main():
                 cell = run_cell(pipe, lines, rate, linger, mb)
                 cells.append(cell)
                 print(json.dumps(cell), flush=True)
-
-    print("\n| max_batch | linger_ms | rate req/s | achieved q/s | p50 ms "
-          "| p90 ms | p99 ms | mean batch |")
-    print("|---|---|---|---|---|---|---|---|")
-    for c in cells:
-        print(f"| {c['max_batch']} | {c['linger_ms']:.0f} | "
-              f"{c['rate_req_s']} | {c['achieved_q_s']} | {c['p50_ms']} | "
-              f"{c['p90_ms']} | {c['p99_ms']} | {c['mean_batch']} |")
+    _table(cells)
 
 
 if __name__ == "__main__":
