@@ -1,10 +1,20 @@
-"""Benchmark harness: end-to-end questions/sec/chip (preproc + decode).
+"""Benchmark harness: joint mp4->questions at corpus density (the north
+star) + the staged-inputs serving leg, one JSON line.
 
-Measures the flagship tri-modal pipeline at reference dims (context 283,
-AV 101, question 21, hidden 512) doing exactly what the reference's
-evaluate.py did per question — video/audio/text encode + 21-step greedy
-decode — batched and jitted, with ALL preprocessing on device (uint8 frame
-dequant+normalise folded into conv1, int16 PCM -> log-mel STFT-as-matmul).
+Default run measures BOTH halves of what BASELINE.json prices:
+* the CORPUS-JOINT leg — raw mp4s in, questions out, per-video span
+  layouts sampled verbatim from the reference's labelled_questions.json,
+  host prep overlapped with device decode, vs an all-jobs reference
+  baseline including its audio leg (scripts/bench_joint_video.run_corpus)
+  — this headlines the printed line (videos/sec, vs_baseline, p50/p90
+  per-video latency, coalesced variants);
+* the STAGED leg (``staged()``, nested under "staged"): the flagship
+  tri-modal pipeline at reference dims (context 283, AV 101, question 21,
+  hidden 512) doing exactly what the reference's evaluate.py did per
+  question — video/audio/text encode + 21-step greedy decode — batched and
+  jitted, with ALL preprocessing on device (uint8 frame dequant+normalise
+  folded into conv1, int16 PCM -> log-mel STFT-as-matmul), inputs already
+  in HBM.
 
 Timing scope: inputs staged in HBM (raw uint8 frames + int16 PCM, exactly
 what a host loader ships) -> decoded token ids fetched to host. Host->device
@@ -15,10 +25,13 @@ it into the headline would benchmark the tunnel, not the framework.
 Sync discipline: every timed iteration materialises the tokens via
 np.asarray — block_until_ready does not reliably block on this backend.
 
-Baseline: BASELINE_MEASURED.json (reference-style batch-1 torch CPU pipeline,
-see scripts/measure_baseline.py; the reference itself publishes no numbers —
-BASELINE.md). Prints ONE json line:
-  {"metric": ..., "value": N, "unit": "questions/sec/chip", "vs_baseline": N}
+Baseline: BASELINE_MEASURED.json (reference-style batch-1 torch CPU
+pipeline, see scripts/measure_baseline.py; the reference itself publishes
+no numbers — BASELINE.md). Prints ONE final json line:
+  {"metric": "videos/sec joint mp4->questions at CORPUS span density ...",
+   "value": N, "unit": "videos/sec", "vs_baseline": N, ...,
+   "staged": {"value": N, "unit": "questions/sec/chip", ...}}
+Flags: --staged (staged leg only), --from-video [--corpus] (joint leg only).
 """
 
 from __future__ import annotations
@@ -42,7 +55,10 @@ def _load_baseline() -> float:
     return 0.2956
 
 
-def main() -> None:
+def staged() -> dict:
+    """The staged-inputs leg: inputs in HBM -> tokens on host (module doc).
+    Returns its result dict (the caller merges it into the one printed
+    JSON line)."""
     import jax
     import jax.numpy as jnp
 
@@ -134,6 +150,10 @@ def main() -> None:
         "h2d_full_spread_frac": round(h2d_full_spread, 2),
         "h2d_n_probes": len(h2d_samples),
         "h2d_n_trimmed": len(trimmed),
+        # raw probes, auditable: the tunnel is BIMODAL (~40 MB/s fast mode
+        # vs ~7-15 MB/s congested mode — PERF.md "h2d tunnel bimodality"),
+        # which is what the spread numbers above summarise
+        "h2d_samples_mb_s": [round(s, 1) for s in sorted(h2d_samples)],
         "batch_mb": round(n_bytes / 1e6, 1),
         # dispatches per served batch on the default path: ONE fused encode
         # program + ONE decode-scan program (decode.decode_batch splits
@@ -141,11 +161,41 @@ def main() -> None:
         # B>=128 — PERF.md "Fused one-program encode+decode")
         "dispatches_per_batch": 2,
     }
+    return result
+
+
+def main() -> None:
+    """Default bench: the corpus-joint NORTH STAR headlines the one JSON
+    line (videos/s at real labelled_questions.json span density, all-jobs
+    reference baseline WITH its audio leg, p50/p90 per-video latency,
+    coalesced variants — the metric BASELINE.json prices), with the staged
+    leg's numbers nested under "staged" for round-over-round comparability
+    (round-4 VERDICT missing #1: the driver-captured artifact used to
+    record only the staged figure). mp4 fixtures cache under /tmp so
+    repeat runs skip synthesis."""
+    staged_result = staged()
+    try:
+        sys.path.insert(0, str(REPO / "scripts"))
+        import bench_joint_video
+
+        n_videos, seed = 16, 0
+        corpus = bench_joint_video.run_corpus(
+            n_videos=n_videos, seed=seed,
+            cache_dir=f"/tmp/mmqg_bench_corpus_{n_videos}_{seed}")
+    except Exception as e:  # the staged line must survive a corpus failure
+        staged_result["corpus_error"] = f"{type(e).__name__}: {e}"
+        print(json.dumps(staged_result))
+        return
+    result = dict(corpus)
+    result["staged"] = staged_result
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    if "--from-video" in sys.argv:
+    if "--staged" in sys.argv:
+        # staged leg only (quick regression check; pre-round-5 behavior)
+        print(json.dumps(staged()))
+    elif "--from-video" in sys.argv:
         # joint mp4->questions with host/device overlap (PERF.md "Joint
         # mp4->questions"; scripts/bench_joint_video.py for knobs).
         # --corpus: real labelled_questions.json span layouts (the north-

@@ -44,6 +44,27 @@ def set_virtual_cpu_env(n_devices: int = 8) -> None:
         flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=300"
                   " --xla_cpu_collective_call_warn_stuck_timeout_seconds=60"
                   " --xla_cpu_collective_timeout_seconds=300")
+    if "concurrency_optimized_scheduler" not in flags:
+        # Mesh-suite deadlock mitigation #1 (round 5): the concurrency-
+        # optimized thunk scheduler reorders independent collectives per
+        # partition — one of the two ingredients of the cross-collective
+        # deadlock that LOG(FATAL)s at the 300 s terminate timeout.
+        # A/B'd on a then-reliable repro ((4,2)-mesh FSDP case): =true
+        # aborted, =false passed — but the knife edge then moved to the
+        # ZeRO-1 (4,2) case, so this alone is insufficient (see #2).
+        flags += " --xla_cpu_enable_concurrency_optimized_scheduler=false"
+    if "multi_thread_eigen" not in flags:
+        # Mitigation #2, the load-bearing one: on this 1-core box the
+        # shared intra-op Eigen pool has ONE thread; a collective's
+        # blocking rendezvous wait scheduled onto it starves every other
+        # partition's work — the "blocked rendezvous waits exhaust the
+        # 1-core pool" deadlock (NOTES_NEXT_ROUND.md "Known flake").
+        # Single-threaded Eigen keeps partition work on the per-partition
+        # execution threads, which can all block at a rendezvous
+        # concurrently. With both flags the two previously deterministic
+        # aborts (FSDP and ZeRO-1 on the (4,2) mesh) pass 4/4 in ~100 s
+        # each. Virtual-CPU testing only — TPU paths never see these.
+        flags += " --xla_cpu_multi_thread_eigen=false"
     os.environ["XLA_FLAGS"] = flags
 
 

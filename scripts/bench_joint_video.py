@@ -172,8 +172,11 @@ def corpus_layouts(n_videos: int, seed: int = 0, tail_s: float = 15.0):
     return out
 
 
-def synthesize_corpus_videos(out_dir: Path, layouts, fps=24):
-    """One lecture-shaped AAC+MPEG-4 mp4 per sampled layout."""
+def synthesize_corpus_videos(out_dir: Path, layouts, fps=24, reuse=False):
+    """One lecture-shaped AAC+MPEG-4 mp4 per sampled layout. ``reuse``
+    skips re-encoding files that already exist (the bench.py fixture cache
+    — layouts are deterministic under seed, so an existing file is the
+    same file)."""
     from mmqg_tpu.data import native
 
     if not native.media_available():
@@ -181,10 +184,12 @@ def synthesize_corpus_videos(out_dir: Path, layouts, fps=24):
     jobs = []
     for v, lay in enumerate(layouts):
         path = out_dir / f"corpus{v:03d}.mp4"
-        if not native.write_test_av_mp4(path, seconds=lay["seconds"],
-                                        freq=200 + 7 * v, width=320,
-                                        height=240, fps=fps):
-            raise SystemExit("AAC/MPEG-4 encoders not in system libavcodec")
+        if not (reuse and path.exists()):
+            if not native.write_test_av_mp4(path, seconds=lay["seconds"],
+                                            freq=200 + 7 * v, width=320,
+                                            height=240, fps=fps):
+                raise SystemExit(
+                    "AAC/MPEG-4 encoders not in system libavcodec")
         ctx = ["what is the process of the system"] * len(lay["spans"])
         jobs.append({"video_path": path, "spans": lay["spans"],
                      "contexts": ctx, "seconds": lay["seconds"]})
@@ -225,16 +230,30 @@ def _load_qps_cpu() -> float:
 
 
 def run_corpus(n_videos=16, workers=4, seed=0, out_json=False,
-               with_reference=True):
+               with_reference=True, cache_dir=None, pipe=None):
     """Corpus-shaped joint benchmark (module doc): real span layouts, per-
-    video latency in completion order, all-jobs reference baseline."""
+    video latency in completion order, all-jobs reference baseline.
+
+    ``cache_dir``: reuse/synthesize the mp4 fixtures there instead of a
+    fresh tempdir (bench.py passes a stable /tmp path so repeat runs skip
+    the ~47 s synthesis). ``pipe``: share an already-built pipeline."""
     import tempfile
 
-    pipe = build_pipeline()
-    tmp = Path(tempfile.mkdtemp(prefix="joint_corpus_"))
+    pipe = pipe or build_pipeline()
+    if cache_dir is not None:
+        tmp = Path(cache_dir)
+        tmp.mkdir(parents=True, exist_ok=True)
+    else:
+        tmp = Path(tempfile.mkdtemp(prefix="joint_corpus_"))
     layouts = corpus_layouts(n_videos, seed=seed)
     t0 = time.perf_counter()
-    jobs = synthesize_corpus_videos(tmp, layouts)
+    # the .complete marker guards against reusing a half-synthesized cache
+    # (a killed process can leave truncated mp4s); the caller keys the
+    # cache dir on (n_videos, seed) so a marker means THESE layouts
+    marker = tmp / ".complete"
+    jobs = synthesize_corpus_videos(tmp, layouts, reuse=marker.exists())
+    if cache_dir is not None:
+        marker.touch()
     synth_s = time.perf_counter() - t0
     n_questions = sum(len(j["spans"]) for j in jobs)
     total_video_s = sum(j["seconds"] for j in jobs)
