@@ -172,8 +172,14 @@ def main() -> None:
     leg's numbers nested under "staged" for round-over-round comparability
     (round-4 VERDICT missing #1: the driver-captured artifact used to
     record only the staged figure). mp4 fixtures cache under /tmp so
-    repeat runs skip synthesis."""
-    staged_result = staged()
+    repeat runs skip synthesis.
+
+    Order matters: the CORPUS leg runs FIRST. The staged leg pushes
+    12 x 618 MB batches + 17 h2d probes through the shared tunnel, and a
+    corpus leg run right after it measured 64x where a fresh process
+    minutes later measured 89x (2026-08-21 A/B) — the congested tunnel
+    tail, not the framework."""
+    corpus, corpus_error = None, None
     try:
         sys.path.insert(0, str(REPO / "scripts"))
         import bench_joint_video
@@ -183,7 +189,10 @@ def main() -> None:
             n_videos=n_videos, seed=seed,
             cache_dir=f"/tmp/mmqg_bench_corpus_{n_videos}_{seed}")
     except Exception as e:  # the staged line must survive a corpus failure
-        staged_result["corpus_error"] = f"{type(e).__name__}: {e}"
+        corpus_error = f"{type(e).__name__}: {e}"
+    staged_result = staged()
+    if corpus is None:
+        staged_result["corpus_error"] = corpus_error
         print(json.dumps(staged_result))
         return
     result = dict(corpus)
