@@ -77,8 +77,15 @@ def _load_media(req: dict, pipe):
 def serve(pipe, *, strategy: str, max_batch: int, linger_ms: float,
           topk: int = 1, top_p: float = 0.9, seed: int = 0,
           inp=None, out=None, prep_workers: int = 4,
-          bucket_group: bool = True) -> int:
+          bucket_group: bool = True, stop=None) -> int:
     """Run the serve loop until EOF on ``inp``; returns requests served.
+
+    ``stop``: optional ``threading.Event`` for graceful shutdown — when
+    set, the loop stops ACCEPTING input (requests already read from
+    ``inp`` still prep, batch, decode, and answer) and returns once the
+    backlog drains. ``main()`` wires SIGTERM to this, so an evicted/
+    redeployed daemon answers everything it has taken instead of dropping
+    it mid-flight.
 
     Host media prep (``_load_media`` — raw-video seek-decode is tens of ms
     of host work) runs on a ``prep_workers``-wide thread pool, so one slow
@@ -144,13 +151,34 @@ def serve(pipe, *, strategy: str, max_batch: int, linger_ms: float,
         # arrival order assigns ``seq`` — the stable per-request sampling
         # identity (docstring) — before prep completion order scrambles it
         seq = 0
+
+        def submit(req) -> bool:
+            nonlocal seq
+            if req is None:
+                return False
+            pool.submit(prep_one, req, seq)
+            seq += 1
+            return True
+
         try:
             while True:
-                req = q.get()
-                if req is None:
+                if stop is not None and stop.is_set():
+                    # graceful drain: everything ALREADY read gets served;
+                    # nothing new is awaited
+                    while True:
+                        try:
+                            req = q.get_nowait()
+                        except queue.Empty:
+                            break
+                        if not submit(req):
+                            break
                     break
-                pool.submit(prep_one, req, seq)
-                seq += 1
+                try:
+                    req = q.get(timeout=0.25 if stop is not None else None)
+                except queue.Empty:
+                    continue
+                if not submit(req):
+                    break
         finally:
             pool.shutdown(wait=True)  # every entry is in ready before EOF
             ready.put(None)
@@ -351,10 +379,29 @@ def main(argv=None) -> None:
                   "is visible", file=sys.stderr)
     print(f"ready alias={alias} strategy={args.strategy} "
           f"max_batch={args.max_batch}", file=sys.stderr, flush=True)
-    n = serve(pipe, strategy=args.strategy, max_batch=args.max_batch,
-              topk=args.top_k, top_p=args.top_p, seed=args.seed,
-              linger_ms=args.linger_ms, prep_workers=args.prep_workers,
-              bucket_group=not args.no_bucket_group)
+
+    # graceful SIGTERM: stop accepting, answer everything already read,
+    # then exit 0 (same production courtesy as the Trainer's preemption
+    # save) — the previous disposition is restored before returning
+    import signal
+    import threading
+    stop = threading.Event()
+
+    def _on_term(signum, frame):
+        print("SIGTERM: draining in-flight requests, accepting no more",
+              file=sys.stderr, flush=True)
+        stop.set()
+
+    prev = signal.signal(signal.SIGTERM, _on_term)
+    try:
+        n = serve(pipe, strategy=args.strategy, max_batch=args.max_batch,
+                  topk=args.top_k, top_p=args.top_p, seed=args.seed,
+                  linger_ms=args.linger_ms, prep_workers=args.prep_workers,
+                  bucket_group=not args.no_bucket_group, stop=stop)
+    finally:
+        signal.signal(signal.SIGTERM,
+                      prev if callable(prev) or prev in
+                      (signal.SIG_IGN, signal.SIG_DFL) else signal.SIG_DFL)
     print(f"served {n} requests", file=sys.stderr)
 
 

@@ -246,6 +246,53 @@ def test_serve_sampling_reproducible_across_batching(served_pipe):
     assert big == small
 
 
+def test_serve_graceful_stop_drains_backlog(served_pipe):
+    """Graceful shutdown (serve(stop=event), SIGTERM in main): with the
+    input stream still OPEN (no EOF), setting the stop event must (a) let
+    every already-read request answer, then (b) return — instead of
+    blocking forever on the next read."""
+    import queue as q_
+    import threading
+    import time as _time
+
+    pipe, cfg = served_pipe
+    fed: "q_.Queue" = q_.Queue()
+
+    class OpenEndedInput:
+        """Yields fed lines; BLOCKS when empty (an idle-but-open stdin)."""
+
+        def __iter__(self):
+            while True:
+                item = fed.get()
+                if item is None:
+                    return
+                yield item
+
+    out = io.StringIO()
+    stop = threading.Event()
+    result = {}
+
+    def run():
+        result["n"] = serve(pipe, strategy="greedy", max_batch=8,
+                            linger_ms=10, inp=OpenEndedInput(), out=out,
+                            stop=stop)
+
+    t = threading.Thread(target=run)
+    t.start()
+    fed.put(json.dumps({"id": 1, "context": "what is the value"}))
+    fed.put(json.dumps({"id": 2, "context": "the process of the system"}))
+    deadline = _time.time() + 120
+    while _time.time() < deadline and out.getvalue().count('"question"') < 2:
+        _time.sleep(0.05)
+    assert out.getvalue().count('"question"') == 2, out.getvalue()
+    stop.set()
+    t.join(timeout=60)
+    alive = t.is_alive()
+    fed.put(None)  # unblock the reader thread for tidy teardown
+    assert not alive, "serve() did not return after stop was set"
+    assert result["n"] == 2
+
+
 def test_serve_zero_linger_batches_backlog(served_pipe):
     """linger_ms=0 must still batch requests that are ALREADY queued (the
     non-blocking backlog drain): under load the queue backs up while the
