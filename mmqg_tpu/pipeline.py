@@ -324,9 +324,11 @@ class QGPipeline:
                 rows = batch["context_ids"].shape[0]
                 seeds = np.arange(rows, dtype=np.int32)
                 if row_seeds is not None:
-                    seeds[:n] = np.asarray(
-                        [np.uint32(s) for s in row_seeds], np.uint32
-                    )[:n].view(np.int32)
+                    # int64 + mask + astype WRAPS any int identity into
+                    # int32 (NumPy 2's scalar ctor would raise instead)
+                    seeds[:n] = (
+                        (np.asarray(list(row_seeds), np.int64) & 0xFFFFFFFF)
+                        .astype(np.uint32).view(np.int32)[:n])
             toks = DEC.decode_batch(
                 self.params, self.model_state, self.mc, batch,
                 jax.random.PRNGKey(seed), strategy=strategy, max_len=max_len,
@@ -416,11 +418,30 @@ class QGPipeline:
     @staticmethod
     def _row_seed(job_i: int, span_k: int) -> int:
         """Stable per-question sampling identity: (job index, span index)
-        packed into one int32. Shared by the per-video and coalesced paths
-        (and equal to generate()'s row-index default for a single job at
-        index 0), so a sampled question's draw is the same whichever path
-        or batch served it."""
-        return int(np.uint32((job_i << 16) | span_k).view(np.int32))
+        packed into one int32 (pure-Python two's-complement wrap — NumPy 2
+        scalar constructors raise on overflow instead of wrapping). Shared
+        by the per-video and coalesced paths (and equal to generate()'s
+        row-index default for a single job at index 0), so a sampled
+        question's draw is the same whichever path or batch served it."""
+        v = ((job_i << 16) | span_k) & 0xFFFFFFFF
+        return v - 0x100000000 if v >= 0x80000000 else v
+
+    def _prep_job(self, job: Dict):
+        """One job dict -> (contexts, frames, audio). THE prep closure for
+        both generate_from_videos modes (one definition so the two cannot
+        diverge in what they pass to _prep_video). Raises for malformed
+        jobs — callers run it on the pool and route exceptions through
+        ``_record_job_error``, so a bad job costs only itself."""
+        spans = job["spans"]
+        if len(spans) >= (1 << 16):
+            raise ValueError(
+                "at most 65535 spans per job (the (job, span) sampling "
+                "identity packs span into 16 bits)")
+        return self._prep_video(
+            job["video_path"], spans,
+            subtitles=job.get("subtitles"),
+            contexts=job.get("contexts"),
+            audio_path=job.get("audio_path"))
 
     @staticmethod
     def _record_job_error(errors: Optional[Dict[int, str]], i: int,
@@ -508,9 +529,6 @@ class QGPipeline:
         from concurrent.futures import ThreadPoolExecutor
 
         jobs = list(jobs)
-        if any(len(j["spans"]) >= (1 << 16) for j in jobs):
-            raise ValueError("at most 65535 spans per job (the (job, span) "
-                             "sampling identity packs span into 16 bits)")
         if coalesce:
             return self._generate_from_videos_coalesced(
                 jobs, workers=workers, strategy=strategy,
@@ -520,15 +538,8 @@ class QGPipeline:
         finalizers: List = [None] * len(jobs)
         dispatch_order: List[int] = []
 
-        def prep(job: Dict):
-            return self._prep_video(
-                job["video_path"], job["spans"],
-                subtitles=job.get("subtitles"),
-                contexts=job.get("contexts"),
-                audio_path=job.get("audio_path"))
-
         with ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
-            futures = [ex.submit(prep, job) for job in jobs]
+            futures = [ex.submit(self._prep_job, job) for job in jobs]
             # dispatch in COMPLETION order (the whole point: the device must
             # not wait for video 0 if video 1's prep landed first), collect
             # in job order
@@ -575,28 +586,38 @@ class QGPipeline:
         import time as _time
         from concurrent.futures import ThreadPoolExecutor
 
-        def prep(job: Dict):
-            return self._prep_video(
-                job["video_path"], job["spans"],
-                subtitles=job.get("subtitles"),
-                contexts=job.get("contexts"),
-                audio_path=job.get("audio_path"))
-
         groups: Dict[tuple, List[tuple]] = {}
         inflight: List = []  # (finalizer, chunk) in dispatch (FIFO) order
         n_rows: List[Optional[int]] = [None] * len(jobs)
 
-        def dispatch(key: tuple, chunk: List[tuple]) -> None:
-            fin = self.generate_async(
-                [r[2] for r in chunk], [r[3] for r in chunk],
-                [r[4] for r in chunk], strategy=strategy,
+        def dispatch_rows(key: tuple, rows: List[tuple]):
+            return self.generate_async(
+                [r[2] for r in rows], [r[3] for r in rows],
+                [r[4] for r in rows], strategy=strategy,
                 beam_size=beam_size, topk=topk, top_p=top_p, seed=seed,
                 frames_cap=key[0], audio_cap=key[1],
-                row_seeds=[self._row_seed(r[0], r[1]) for r in chunk])
+                row_seeds=[self._row_seed(r[0], r[1]) for r in rows])
+
+        def dispatch(key: tuple, chunk: List[tuple]) -> None:
+            try:
+                fin = dispatch_rows(key, chunk)
+            except Exception:
+                # a row that prepped fine can still break batch packing
+                # (e.g. wrong frame geometry). The errors= contract says a
+                # bad JOB costs only itself, so degrade this chunk to
+                # per-row dispatches: poisoned rows error their own job,
+                # companions still answer (same discipline as serve.py's
+                # batch-poisoning fallback).
+                for row in chunk:
+                    try:
+                        inflight.append((dispatch_rows(key, [row]), [row]))
+                    except Exception as e:
+                        self._record_job_error(errors, row[0], e)
+                return
             inflight.append((fin, chunk))
 
         with ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
-            futures = {ex.submit(prep, job): i
+            futures = {ex.submit(self._prep_job, job): i
                        for i, job in enumerate(jobs)}
             for fut in cf.as_completed(futures):
                 i = futures[fut]
@@ -623,7 +644,12 @@ class QGPipeline:
         results: List[List[str]] = [
             None if n is None else [None] * n for n in n_rows]  # type: ignore
         for fin, chunk in inflight:  # dispatch order == device FIFO order
-            words = fin()
+            try:
+                words = fin()
+            except Exception as e:  # device-side failure: this chunk only
+                for (i, *_rest) in chunk:
+                    self._record_job_error(errors, i, e)
+                continue
             t = _time.perf_counter()
             for (i, k, *_), w in zip(chunk, words):
                 results[i][k] = w

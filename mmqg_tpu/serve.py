@@ -135,8 +135,11 @@ def serve(pipe, *, strategy: str, max_batch: int, linger_ms: float,
     ready: "queue.Queue[Optional[dict]]" = queue.Queue(maxsize=8 * max_batch)
     pool = ThreadPoolExecutor(max_workers=max(1, prep_workers))
 
-    def prep_one(req: dict, seq: int):
-        entry = {"seq": seq,
+    def prep_one(req: dict, seq: int, t_read: float):
+        # t_read: when the request came off the input stream — the start
+        # of the latency the CLIENT experiences (prep + queueing + batch
+        # wait + decode + materialise), reported per request in flush
+        entry = {"seq": seq, "t": t_read,
                  "id": req.get("id") if isinstance(req, dict) else None}
         try:
             if "_parse_error" in req:
@@ -156,7 +159,7 @@ def serve(pipe, *, strategy: str, max_batch: int, linger_ms: float,
             nonlocal seq
             if req is None:
                 return False
-            pool.submit(prep_one, req, seq)
+            pool.submit(prep_one, req, seq, time.monotonic())
             seq += 1
             return True
 
@@ -164,14 +167,21 @@ def serve(pipe, *, strategy: str, max_batch: int, linger_ms: float,
             while True:
                 if stop is not None and stop.is_set():
                     # graceful drain: everything ALREADY read gets served;
-                    # nothing new is awaited
-                    while True:
+                    # nothing new is awaited. The reader thread may hold a
+                    # request it has read but not yet enqueued (blocked on
+                    # a full q, or between readline and put), so keep
+                    # draining until the queue stays quiet for 0.5 s —
+                    # only requests not yet fully read off the wire are
+                    # left behind.
+                    deadline = time.monotonic() + 0.5
+                    while time.monotonic() < deadline:
                         try:
-                            req = q.get_nowait()
+                            req = q.get(timeout=0.1)
                         except queue.Empty:
-                            break
+                            continue
                         if not submit(req):
                             break
+                        deadline = time.monotonic() + 0.5
                     break
                 try:
                     req = q.get(timeout=0.25 if stop is not None else None)
@@ -197,15 +207,18 @@ def serve(pipe, *, strategy: str, max_batch: int, linger_ms: float,
             for rid in infl["ids"]:
                 out.write(json.dumps({"id": rid, "error": str(e)}) + "\n")
             questions = []
-        # latency the client experiences: measured AFTER finalize() has
-        # materialised the result (finalize blocks on the device)
-        ms = (time.monotonic() - infl["t0"]) * 1000.0
-        for rid, question in zip(infl["ids"], questions):
+        # latency the client experiences, PER REQUEST: from the moment the
+        # request came off the input stream (prep + queueing + batch wait +
+        # decode), measured AFTER finalize() has materialised the result
+        # (finalize blocks on the device)
+        now = time.monotonic()
+        for rid, t_read, question in zip(infl["ids"], infl["ts"], questions):
             if question is None:
                 continue  # per-request failure: its error is in errs
-            out.write(json.dumps({"id": rid, "question": question,
-                                  "batch_size": infl["n"],
-                                  "latency_ms": round(ms, 1)}) + "\n")
+            out.write(json.dumps(
+                {"id": rid, "question": question,
+                 "batch_size": infl["n"],
+                 "latency_ms": round((now - t_read) * 1000.0, 1)}) + "\n")
         for rid, err in infl["errs"]:
             out.write(json.dumps({"id": rid, "error": err}) + "\n")
         out.flush()
@@ -215,10 +228,11 @@ def serve(pipe, *, strategy: str, max_batch: int, linger_ms: float,
             flush(infl)
         in_flight.clear()
 
-    def dispatch_group(grp: List[dict], caps, t0) -> dict:
+    def dispatch_group(grp: List[dict], caps) -> dict:
         """One fixed-cap batch for one bucket group; returns the in-flight
         record (or a degraded per-request finalizer on packing failure)."""
         ids = [e["id"] for e in grp]
+        ts = [e["t"] for e in grp]
         errs: List = []
         try:
             # async dispatch: the device decodes THIS batch while the loop
@@ -248,8 +262,8 @@ def serve(pipe, *, strategy: str, max_batch: int, linger_ms: float,
 
         # ``errs`` is the SAME list the fallback finalize appends
         # per-request errors into — flush reads it after finalize() returns
-        return {"finalize": finalize, "ids": ids, "n": len(grp),
-                "errs": errs, "t0": t0}
+        return {"finalize": finalize, "ids": ids, "ts": ts, "n": len(grp),
+                "errs": errs}
 
     while not done:
         # idle: flush the in-flight batches before blocking for new work,
@@ -290,7 +304,6 @@ def serve(pipe, *, strategy: str, max_batch: int, linger_ms: float,
                 break
             pending.append(nxt)
 
-        t0 = time.monotonic()
         good = [e for e in pending if "err" not in e]
         # prep/parse failures need no device: answer them immediately
         bad = [e for e in pending if "err" in e]
@@ -311,7 +324,7 @@ def serve(pipe, *, strategy: str, max_batch: int, linger_ms: float,
         else:
             waves = [((None, None), good)] if good else []
 
-        new_infl = [dispatch_group(grp, caps, t0) for caps, grp in waves]
+        new_infl = [dispatch_group(grp, caps) for caps, grp in waves]
         # overlap: the PREVIOUS wave flushes while this one decodes
         flush_all()
         in_flight.extend(new_infl)

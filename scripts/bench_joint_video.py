@@ -229,6 +229,47 @@ def _load_qps_cpu() -> float:
     return 0.2956
 
 
+_FIXTURE_VERSION = 1  # bump when synthesize_corpus_videos output changes
+
+
+def _cached_corpus_videos(target: Path, layouts):
+    """Fixture cache with atomic publish + content keying.
+
+    The marker file records (_FIXTURE_VERSION, the layouts) — a cache is
+    reused ONLY if its marker matches, so a change to the synthesis
+    parameters or labelled_questions.json invalidates old caches instead
+    of silently benchmarking stale fixtures. New caches are synthesized
+    into a staging dir and os.rename'd into place, so a killed or
+    concurrent run can never publish (or reuse) a half-written set."""
+    import hashlib
+    import os
+    import shutil
+
+    key = hashlib.md5(
+        repr((_FIXTURE_VERSION, layouts)).encode()).hexdigest()
+    marker = target / "fixtures.key"
+    if marker.exists() and marker.read_text() == key:
+        return target, synthesize_corpus_videos(target, layouts, reuse=True)
+    staging = target.with_name(f"{target.name}.stage{os.getpid()}")
+    shutil.rmtree(staging, ignore_errors=True)
+    staging.mkdir(parents=True)
+    jobs = synthesize_corpus_videos(staging, layouts)
+    (staging / "fixtures.key").write_text(key)
+    shutil.rmtree(target, ignore_errors=True)  # stale/foreign cache
+    try:
+        os.rename(staging, target)
+    except OSError:
+        # another run published concurrently; use it if valid, else keep
+        # our staging dir (jobs already point there)
+        if marker.exists() and marker.read_text() == key:
+            shutil.rmtree(staging, ignore_errors=True)
+            return target, synthesize_corpus_videos(target, layouts,
+                                                    reuse=True)
+        return staging, jobs
+    return target, [dict(j, video_path=target / Path(j["video_path"]).name)
+                    for j in jobs]
+
+
 def run_corpus(n_videos=16, workers=4, seed=0, out_json=False,
                with_reference=True, cache_dir=None, pipe=None):
     """Corpus-shaped joint benchmark (module doc): real span layouts, per-
@@ -240,20 +281,13 @@ def run_corpus(n_videos=16, workers=4, seed=0, out_json=False,
     import tempfile
 
     pipe = pipe or build_pipeline()
-    if cache_dir is not None:
-        tmp = Path(cache_dir)
-        tmp.mkdir(parents=True, exist_ok=True)
-    else:
-        tmp = Path(tempfile.mkdtemp(prefix="joint_corpus_"))
     layouts = corpus_layouts(n_videos, seed=seed)
     t0 = time.perf_counter()
-    # the .complete marker guards against reusing a half-synthesized cache
-    # (a killed process can leave truncated mp4s); the caller keys the
-    # cache dir on (n_videos, seed) so a marker means THESE layouts
-    marker = tmp / ".complete"
-    jobs = synthesize_corpus_videos(tmp, layouts, reuse=marker.exists())
     if cache_dir is not None:
-        marker.touch()
+        tmp, jobs = _cached_corpus_videos(Path(cache_dir), layouts)
+    else:
+        tmp = Path(tempfile.mkdtemp(prefix="joint_corpus_"))
+        jobs = synthesize_corpus_videos(tmp, layouts)
     synth_s = time.perf_counter() - t0
     n_questions = sum(len(j["spans"]) for j in jobs)
     total_video_s = sum(j["seconds"] for j in jobs)

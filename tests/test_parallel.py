@@ -73,6 +73,11 @@ def test_mesh_suite_isolated():
             break  # deterministic case failure: do not retry
         if last.returncode == 0:
             return
+        if last.returncode == 5 and done:
+            # "no tests ran": a resumed attempt deselected every case —
+            # meaning the previous child completed ALL cases (all passed,
+            # bad is empty) and then died in teardown. The suite passed.
+            return
         if last.returncode > 0:
             break  # deterministic pytest failure: do not retry
         no_progress = no_progress + 1 if ok == done else 0

@@ -289,7 +289,8 @@ def test_generate_from_videos_fault_isolation(trained, tmp_path):
              "contexts": ["what is the value"]},
             good_jobs[1],
             {"video_path": truncated, "spans": [(1.0, 3.0)],
-             "contexts": ["what is the value"]}]
+             "contexts": ["what is the value"]},
+            {"video_path": good_jobs[0]["video_path"]}]  # malformed: no spans
 
     pipe = QGPipeline.from_checkpoint(trained, alias="best")
     baseline = pipe.generate_from_videos(good_jobs, workers=2)
@@ -298,8 +299,8 @@ def test_generate_from_videos_fault_isolation(trained, tmp_path):
         out = pipe.generate_from_videos(jobs, workers=2, errors=errs,
                                         coalesce=coalesce)
         assert [out[0], out[2]] == baseline, f"coalesce={coalesce}"
-        assert out[1] is None and out[3] is None
-        assert set(errs) == {1, 3} and all(errs.values())
+        assert out[1] is None and out[3] is None and out[4] is None
+        assert set(errs) == {1, 3, 4} and all(errs.values())
     # without an errors dict the failure is a warning, not an exception
     with pytest.warns(RuntimeWarning, match="job 1 failed"):
         out = pipe.generate_from_videos([good_jobs[0], jobs[1]], workers=2)
