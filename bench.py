@@ -190,13 +190,32 @@ def main() -> None:
             cache_dir=f"/tmp/mmqg_bench_corpus_{n_videos}_{seed}")
     except Exception as e:  # the staged line must survive a corpus failure
         corpus_error = f"{type(e).__name__}: {e}"
-    staged_result = staged()
+    # ... and the corpus line must survive a staged failure: the backend's
+    # remote-compile endpoint flakes transiently (observed: "response body
+    # closed before all bytes were read"), so retry once, then degrade to
+    # whatever legs succeeded rather than losing the whole artifact
+    staged_result = staged_error = None
+    for attempt in (1, 2):
+        try:
+            staged_result = staged()
+            break
+        except Exception as e:
+            staged_error = f"{type(e).__name__}: {e}"
+            print(f"staged leg attempt {attempt} failed: {staged_error}",
+                  file=sys.stderr)
+    if corpus is None and staged_result is None:
+        print(json.dumps({"error": f"corpus: {corpus_error}; "
+                                   f"staged: {staged_error}"}))
+        return
     if corpus is None:
         staged_result["corpus_error"] = corpus_error
         print(json.dumps(staged_result))
         return
     result = dict(corpus)
-    result["staged"] = staged_result
+    if staged_result is not None:
+        result["staged"] = staged_result
+    else:
+        result["staged_error"] = staged_error
     print(json.dumps(result))
 
 

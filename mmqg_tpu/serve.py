@@ -4,9 +4,12 @@ The reference had no serving story at all (its evaluate.py was a test-set
 batch job, reference evaluate.py:129-229); ``QGPipeline`` is the Python
 API, and this daemon is the process-level surface: newline-delimited JSON
 requests on stdin, responses on stdout, with dynamic micro-batching — a
-request waits at most ``--linger-ms`` for companions, then the whole bucket
-decodes as ONE fixed-shape TPU batch (the jit programs are shared with the
-evaluate CLI, so the first request pays the compile and the rest are hot).
+request waits at most ``--linger-ms`` for companions, then each gathered
+wave decodes as fixed-shape TPU batches grouped per AV bucket pair (the
+jit programs are shared with the evaluate CLI, so the first request pays
+the compile and the rest are hot). Media prep runs on a ``--prep-workers``
+pool so raw-video seek-decode overlaps device decode; SIGTERM drains
+gracefully (answer everything read, accept no more).
 
 Request (staged media):
           {"id": <any>, "context": "...", "frames_npy": "path.npy"?,
