@@ -232,7 +232,8 @@ if __name__ == "__main__":
         import bench_joint_video
 
         if "--corpus" in sys.argv:
-            bench_joint_video.run_corpus(out_json=True)
+            bench_joint_video.run_corpus(
+                out_json=True, cache_dir="/tmp/mmqg_bench_corpus_16_0")
         else:
             bench_joint_video.run(out_json=True)
     else:
